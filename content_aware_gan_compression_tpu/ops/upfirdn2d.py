@@ -1,0 +1,161 @@
+"""upfirdn2d — upsample, FIR filter, downsample in one fused XLA op.
+
+TPU-native re-design of the reference CUDA op (reference: op/upfirdn2d.py,
+op/upfirdn2d_kernel.cu). Exact semantics of the reference's CPU formula
+(op/upfirdn2d.py:159-200):
+
+    1. zero-insert upsample by ``up`` (zeros placed AFTER each sample, so the
+       upsampled extent is ``H*up``, not ``H*up - (up-1)``),
+    2. pad by ``(pad0, pad1)`` per axis (negative pads crop),
+    3. 2-D correlate with the spatially flipped kernel (== convolve with the
+       kernel),
+    4. downsample by taking every ``down``-th sample.
+
+Instead of a hand-written kernel with custom double-backward (the reference
+needs one because R1/path-length regularizers differentiate through
+gradients), we express the whole pipeline as ONE ``lax.conv_general_dilated``
+with ``lhs_dilation`` — XLA lowers it onto the TPU convolution units and
+autodiff to any order is free. Layout is NHWC (TPU-native: channels on the
+128-lane minor dimension, so the depthwise FIR vectorizes on the VPU).
+
+``out_h = (in_h * up + pad0 + pad1 - kernel_h) // down + 1`` (matches
+reference op/upfirdn2d.py:103-104).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def make_kernel(k) -> jnp.ndarray:
+    """Build a normalized 2-D FIR kernel from a 1-D or 2-D tap list.
+
+    Mirrors reference model.py:27-35: a 1-D list becomes its outer product;
+    the kernel is normalized to sum to 1.
+    """
+    k = np.asarray(k, dtype=np.float32)
+    if k.ndim == 1:
+        k = k[None, :] * k[:, None]
+    k = k / k.sum()
+    return jnp.asarray(k)
+
+
+def _depthwise_fir(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    up: tuple[int, int],
+    down: tuple[int, int],
+    pad: tuple[int, int, int, int],
+) -> jnp.ndarray:
+    """Core NHWC pipeline. pad = (pad_x0, pad_x1, pad_y0, pad_y1)."""
+    b, h, w, c = x.shape
+    up_x, up_y = up
+    down_x, down_y = down
+    pad_x0, pad_x1, pad_y0, pad_y1 = pad
+    kh, kw = kernel.shape
+
+    # Correlation with the flipped kernel == convolution with the kernel.
+    k = jnp.flip(kernel, (0, 1)).astype(x.dtype)
+    # Depthwise: HWIO with I=1, O=C, feature_group_count=C.
+    k = jnp.broadcast_to(k[:, :, None, None], (kh, kw, 1, c))
+
+    # Zero-insertion via lhs_dilation leaves (up-1) fewer trailing zeros than
+    # the reference's "zeros after every sample"; fold them into the high pad.
+    eff_pad_y = (pad_y0, pad_y1 + up_y - 1)
+    eff_pad_x = (pad_x0, pad_x1 + up_x - 1)
+
+    if min(pad_x0, pad_y0) < 0 or pad_x1 + up_x - 1 < 0 or pad_y1 + up_y - 1 < 0:
+        # Negative padding: materialize the dilate+pad+crop with lax.pad
+        # (supports negative edge padding), then run an unpadded conv.
+        x = lax.pad(
+            x,
+            jnp.asarray(0, x.dtype),
+            ((0, 0, 0),
+             (eff_pad_y[0], eff_pad_y[1], up_y - 1),
+             (eff_pad_x[0], eff_pad_x[1], up_x - 1),
+             (0, 0, 0)),
+        )
+        return lax.conv_general_dilated(
+            x, k,
+            window_strides=(down_y, down_x),
+            padding=((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    return lax.conv_general_dilated(
+        x, k,
+        window_strides=(down_y, down_x),
+        padding=(eff_pad_y, eff_pad_x),
+        lhs_dilation=(up_y, up_x),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+@partial(jax.jit, static_argnames=("up", "down", "pad", "data_format"))
+def upfirdn2d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    up: int | tuple[int, int] = 1,
+    down: int | tuple[int, int] = 1,
+    pad: tuple[int, ...] = (0, 0),
+    data_format: str = "NHWC",
+) -> jnp.ndarray:
+    """Upsample-FIR-downsample (reference op/upfirdn2d.py:145-156 semantics).
+
+    Args:
+      x: [B, H, W, C] (NHWC, default) or [B, C, H, W] (NCHW).
+      kernel: [kh, kw] FIR taps.
+      up / down: int or (x, y) factors.
+      pad: (pad0, pad1) applied to both axes, or (pad_x0, pad_x1, pad_y0, pad_y1).
+    """
+    if isinstance(up, int):
+        up = (up, up)
+    if isinstance(down, int):
+        down = (down, down)
+    if len(pad) == 2:
+        pad = (pad[0], pad[1], pad[0], pad[1])
+
+    if data_format == "NCHW":
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        out = _depthwise_fir(x, kernel, up, down, pad)
+        return jnp.transpose(out, (0, 3, 1, 2))
+    if data_format != "NHWC":
+        raise ValueError(f"unknown data_format {data_format!r}")
+    return _depthwise_fir(x, kernel, up, down, pad)
+
+
+def upsample_2d(x, kernel, factor: int = 2, data_format: str = "NHWC"):
+    """FIR upsample (reference model.py:38-56): kernel pre-scaled by factor^2,
+    pad0 = (k - factor + 1)//2 + factor - 1, pad1 = (k - factor)//2."""
+    kh = kernel.shape[0]
+    p = kh - factor
+    pad0 = (p + 1) // 2 + factor - 1
+    pad1 = p // 2
+    return upfirdn2d(x, kernel * (factor ** 2), up=factor, down=1,
+                     pad=(pad0, pad1), data_format=data_format)
+
+
+def downsample_2d(x, kernel, factor: int = 2, data_format: str = "NHWC"):
+    """FIR downsample (reference model.py:59-77)."""
+    kh = kernel.shape[0]
+    p = kh - factor
+    pad0 = (p + 1) // 2
+    pad1 = p // 2
+    return upfirdn2d(x, kernel, up=1, down=factor,
+                     pad=(pad0, pad1), data_format=data_format)
+
+
+def blur(x, kernel, pad: tuple[int, int], upsample_factor: int = 1,
+         data_format: str = "NHWC"):
+    """FIR blur with explicit pads (reference model.py:80-96). When placed
+    after a transposed conv, the kernel is pre-scaled by upsample_factor^2."""
+    if upsample_factor > 1:
+        kernel = kernel * (upsample_factor ** 2)
+    return upfirdn2d(x, kernel, up=1, down=1, pad=pad, data_format=data_format)
