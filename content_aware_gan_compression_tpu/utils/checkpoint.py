@@ -1,0 +1,222 @@
+"""Checkpoint I/O — torch state-dict <-> JAX pytree, plus native saves.
+
+The reference persists flat torch pickles {'g','d','g_ema','g_optim','d_optim'}
+(reference train.py:443-452, prune.py:60-64). Because our param pytrees use
+the same key paths and tensor layouts as the torch modules, conversion is a
+mechanical split/join on '.', which keeps reference checkpoints importable
+and our checkpoints exportable back to torch.
+
+Native checkpoints are msgpack-free .npz archives with a JSON manifest —
+self-describing (net widths are read off tensor shapes, the same property
+that makes the reference's pruned ckpts loadable, Util/network_util.py:89-103).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zipfile
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Pytree = Any
+
+# Buffers that exist in torch state dicts but are recomputed from config on
+# our side (FIR taps of Blur/Upsample modules).
+_DROPPED_LEAF = "kernel"
+
+
+def torch_state_dict_to_pytree(state_dict, drop_fir_kernels: bool = True) -> Pytree:
+    """Nest a flat {'a.b.c': tensor} state dict into {'a':{'b':{'c': array}}}.
+
+    Accepts torch tensors or numpy arrays as leaves. FIR-kernel buffers
+    ('...blur.kernel', '...upsample.kernel') are dropped by default — they are
+    pure functions of the blur_kernel config tuple.
+    """
+    tree: dict = {}
+    for key, value in state_dict.items():
+        parts = key.split(".")
+        if drop_fir_kernels and parts[-1] == _DROPPED_LEAF:
+            continue
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(np.asarray(value))
+    return tree
+
+
+def pytree_to_torch_state_dict(tree: Pytree, prefix: str = "") -> dict:
+    """Flatten a nested param dict back to torch state-dict key form
+    (numpy leaves; call .get_torch() helpers or torch.from_numpy downstream)."""
+    flat: dict = {}
+    for k, v in tree.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            flat.update(pytree_to_torch_state_dict(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def generator_fir_buffers(config) -> dict:
+    """Regenerate the FIR buffers a torch Generator state dict carries, so an
+    exported checkpoint round-trips into the reference loader."""
+    from ..ops import make_kernel
+    from ..models.stylegan2 import GeneratorConfig  # noqa: F401
+
+    k = np.asarray(make_kernel(list(config.blur_kernel)))
+    buffers: dict = {}
+    n_pairs = (config.log_size - 2)
+    for i in range(n_pairs):
+        # upsample StyledConv blur: kernel * factor^2
+        buffers[f"convs.{2 * i}.conv.blur.kernel"] = k * 4.0
+        # ToRGB skip upsample: kernel * factor^2 (scaled inside Upsample)
+        buffers[f"to_rgbs.{i}.upsample.kernel"] = k * 4.0
+    return buffers
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a torch .pt/.pth checkpoint into numpy-leaf dicts without CUDA.
+
+    Uses torch (CPU build is available in this environment) when importable,
+    else falls back to a pure-python zip+pickle reader for the standard
+    zipfile serialization format.
+    """
+    try:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        return _tensors_to_numpy(ckpt)
+    except ImportError:
+        return _read_torch_zip_pickle(path)
+
+
+def _tensors_to_numpy(obj):
+    import torch
+
+    if isinstance(obj, torch.Tensor):
+        return obj.detach().cpu().numpy()
+    if isinstance(obj, dict):
+        return {k: _tensors_to_numpy(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_tensors_to_numpy(v) for v in obj)
+    return obj
+
+
+def _read_torch_zip_pickle(path: str):
+    """Minimal pure-python reader for torch's zipfile format (weights only)."""
+    import pickle
+    import struct
+
+    zf = zipfile.ZipFile(path)
+    names = zf.namelist()
+    pkl_name = next(n for n in names if n.endswith("data.pkl"))
+    root = pkl_name[: -len("data.pkl")]
+
+    _DTYPES = {
+        "FloatStorage": np.float32, "DoubleStorage": np.float64,
+        "HalfStorage": np.float16, "LongStorage": np.int64,
+        "IntStorage": np.int32, "ShortStorage": np.int16,
+        "CharStorage": np.int8, "ByteStorage": np.uint8,
+        "BoolStorage": np.bool_, "BFloat16Storage": np.uint16,  # raw bits
+    }
+
+    class _Storage:
+        def __init__(self, dtype, key):
+            self.dtype, self.key = dtype, key
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module == "torch._utils" and name in ("_rebuild_tensor_v2", "_rebuild_tensor"):
+                def rebuild(storage, offset, size, stride, *args):
+                    data = zf.read(f"{root}data/{storage.key}")
+                    arr = np.frombuffer(data, dtype=storage.dtype)
+                    itemsize = arr.itemsize
+                    arr = np.lib.stride_tricks.as_strided(
+                        arr[offset:], shape=size,
+                        strides=[s * itemsize for s in stride])
+                    return np.ascontiguousarray(arr)
+                return rebuild
+            if module == "torch" and name.endswith("Storage"):
+                return name
+            if module == "collections" and name == "OrderedDict":
+                return dict
+            raise pickle.UnpicklingError(f"blocked global {module}.{name}")
+
+        def persistent_load(self, pid):
+            kind, storage_type, key, _location, _numel = pid
+            assert kind == "storage"
+            return _Storage(_DTYPES[storage_type], key)
+
+    return _Unpickler(io.BytesIO(zf.read(pkl_name))).load()
+
+
+def build_generator_from_pytree(tree: Pytree, size: int, style_dim: int = 512,
+                                n_mlp: int = 8):
+    """(params, config) from an imported generator tree — the analogue of
+    Build_Generator_From_Dict (reference Util/network_util.py:89-103): net
+    widths are read off the tensors, never from config."""
+    from ..models.stylegan2 import GeneratorConfig, net_shape_from_params
+
+    net_shape = net_shape_from_params(tree)
+    config = GeneratorConfig(size=size, style_dim=style_dim, n_mlp=n_mlp,
+                             net_shape=net_shape)
+    return tree, config
+
+
+# ---------------------------------------------------------------------------
+# native .npz checkpoints
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, trees: dict[str, Pytree], metadata: dict | None = None):
+    """Save {'g': pytree, 'd': pytree, ...} (+ optimizer states) as one .npz
+    with a JSON manifest. Keys use '<tree>/<torch-style-path>'."""
+    arrays: dict[str, np.ndarray] = {}
+    manifest: dict = {"trees": {}, "metadata": metadata or {}}
+    for name, tree in trees.items():
+        leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+        keys = []
+        for path_entries, leaf in leaves_with_paths:
+            key = name + "/" + "/".join(_path_str(e) for e in path_entries)
+            arrays[key] = np.asarray(leaf)
+            keys.append(key)
+        manifest["trees"][name] = keys
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        np.savez(f, __manifest__=np.frombuffer(
+            json.dumps(manifest).encode(), dtype=np.uint8), **arrays)
+
+
+def _path_str(entry) -> str:
+    if hasattr(entry, "key"):
+        return str(entry.key)
+    if hasattr(entry, "idx"):
+        return str(entry.idx)
+    if hasattr(entry, "name"):
+        return str(entry.name)
+    return str(entry)
+
+
+def load_checkpoint(path: str) -> tuple[dict[str, Pytree], dict]:
+    """Inverse of save_checkpoint. Returns ({name: nested dict tree}, metadata).
+
+    Note: optimizer states saved from structured pytrees come back as nested
+    dicts keyed by path segments; model params round-trip exactly.
+    """
+    with np.load(path, allow_pickle=False) as z:
+        manifest = json.loads(bytes(z["__manifest__"].tobytes()).decode())
+        out: dict[str, Pytree] = {}
+        for name, keys in manifest["trees"].items():
+            tree: dict = {}
+            for key in keys:
+                parts = key.split("/")[1:]
+                node = tree
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = jnp.asarray(z[key])
+            out[name] = tree
+    return out, manifest["metadata"]
