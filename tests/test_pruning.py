@@ -1,0 +1,243 @@
+"""Pruning layer tests: metrics, scheduling, mask surgery (vs the reference
+Util/mask_util.py loaded as an oracle), and content-aware scoring."""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from content_aware_gan_compression_tpu.models import (
+    GeneratorConfig, generator_init, generator_apply, net_shape_from_params,
+)
+from content_aware_gan_compression_tpu.pruning import (
+    asv_score, map_l1_norm, l1_normalized_asv, outgoing_l1_norm,
+    incoming_l1_norm, get_network_score_list, generate_prune_mask_list,
+    get_uniform_remove_list, mask_the_generator,
+    get_content_aware_pruning_score, salt_pepper_noisy_images,
+    get_masked_tensor, coi_mask_from_parsing,
+)
+from content_aware_gan_compression_tpu.utils import (
+    torch_state_dict_to_pytree, pytree_to_torch_state_dict,
+)
+from torch_oracle import load_reference_model
+
+SIZE = 16
+NET_SHAPE = (16, 16, 12, 12, 8, 8)
+CFG = GeneratorConfig(size=SIZE, style_dim=32, n_mlp=2, net_shape=NET_SHAPE)
+
+
+@pytest.fixture(scope="module")
+def gen_params():
+    return generator_init(jax.random.PRNGKey(0), CFG)
+
+
+def load_reference_mask_util():
+    """Import reference Util.mask_util with torchvision/model shims."""
+    load_reference_model()  # installs 'op' shim, returns ref model module
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.utils = types.ModuleType("torchvision.utils")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tv.utils
+    sys.modules.setdefault("model", load_reference_model())
+    util_pkg = types.ModuleType("Util")
+    util_pkg.__path__ = ["/root/reference/Util"]
+    sys.modules["Util"] = util_pkg
+    spec = importlib.util.spec_from_file_location(
+        "Util.network_util", "/root/reference/Util/network_util.py")
+    nu = importlib.util.module_from_spec(spec)
+    sys.modules["Util.network_util"] = nu
+    spec.loader.exec_module(nu)
+    spec = importlib.util.spec_from_file_location(
+        "Util.mask_util", "/root/reference/Util/mask_util.py")
+    mu = importlib.util.module_from_spec(spec)
+    sys.modules["Util.mask_util"] = mu
+    spec.loader.exec_module(mu)
+    return mu
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def test_metrics_match_numpy():
+    rng = np.random.RandomState(0)
+    fea = rng.randn(6, 5, 4, 4).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(asv_score(jnp.asarray(fea))),
+        fea.std(axis=0).mean(axis=(1, 2)), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(map_l1_norm(jnp.asarray(fea))),
+        np.abs(fea).mean(axis=(0, 2, 3)), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(l1_normalized_asv(jnp.asarray(fea))),
+        fea.std(axis=0).mean(axis=(1, 2)) / np.abs(fea).mean(axis=(0, 2, 3)),
+        rtol=1e-5)
+    w = rng.randn(7, 5, 3, 3).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(outgoing_l1_norm(jnp.asarray(w))),
+        np.abs(w).sum(axis=(0, 2, 3)), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(incoming_l1_norm(jnp.asarray(w))),
+        np.abs(w).sum(axis=(1, 2, 3)), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# scheduling
+# ---------------------------------------------------------------------------
+
+def test_uniform_remove_list():
+    assert get_uniform_remove_list((16, 12, 8), 0.7) == [11, 8, 5]
+    assert get_uniform_remove_list((512,), 0.0) == [0]
+
+
+def test_generate_prune_mask_list_drops_lowest():
+    scores = [np.array([0.5, 0.1, 0.9, 0.3])]
+    masks = generate_prune_mask_list(scores, (4,), [2])
+    np.testing.assert_array_equal(masks[0], [True, False, True, False])
+
+
+def test_all_scoring_metrics_produce_aligned_shapes(gen_params):
+    z = jax.random.normal(jax.random.PRNGKey(1), (20, CFG.style_dim))
+    for metric in ("Random", "ASV", "l1-map", "l1-norm-ASV", "l2-norm-ASV",
+                   "l1-in", "l1-out", "l1-style"):
+        scores = get_network_score_list(
+            gen_params, CFG, z, metric, rng=jax.random.PRNGKey(2))
+        assert len(scores) == len(NET_SHAPE), metric
+        for s, width in zip(scores, NET_SHAPE):
+            assert np.asarray(s).shape == (width,), metric
+
+
+# ---------------------------------------------------------------------------
+# mask surgery: parity with reference Mask_the_Generator
+# ---------------------------------------------------------------------------
+
+def test_mask_surgery_matches_reference(gen_params):
+    mu = load_reference_mask_util()
+    sd = {k: torch.tensor(np.asarray(v))
+          for k, v in pytree_to_torch_state_dict(gen_params).items()}
+
+    rng = np.random.RandomState(3)
+    masks = []
+    for width in NET_SHAPE:
+        m = np.ones(width, dtype=bool)
+        drop = rng.choice(width, size=width // 3, replace=False)
+        m[drop] = False
+        masks.append(m)
+
+    want = mu.Mask_the_Generator(sd, [np.asarray(m) for m in masks])
+    got = pytree_to_torch_state_dict(mask_the_generator(gen_params, masks))
+
+    for key, val in want.items():
+        np.testing.assert_allclose(
+            got[key], val.numpy(), rtol=1e-6, atol=1e-6,
+            err_msg=f"mismatch at {key}")
+
+
+def test_pruned_generator_runs_and_matches_shape(gen_params):
+    masks = [np.arange(w) % 2 == 0 for w in NET_SHAPE]  # keep every other
+    pruned = mask_the_generator(gen_params, masks)
+    new_shape = net_shape_from_params(pruned)
+    assert new_shape == tuple(int(m.sum()) for m in masks)
+    cfg2 = GeneratorConfig(size=SIZE, style_dim=32, n_mlp=2,
+                           net_shape=new_shape)
+    img = generator_apply(
+        pruned, cfg2, [jax.random.normal(jax.random.PRNGKey(4), (2, 32))],
+        rng=jax.random.PRNGKey(5))
+    assert img.shape == (2, 3, SIZE, SIZE)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+# ---------------------------------------------------------------------------
+# content-aware scoring
+# ---------------------------------------------------------------------------
+
+def test_salt_pepper_statistics():
+    rng = jax.random.PRNGKey(6)
+    img = jnp.zeros((2, 3, 32, 32))
+    mask = np.zeros((2, 32, 32), dtype=bool)
+    mask[:, 8:24, 8:24] = True
+    sp, replace = salt_pepper_noisy_images(rng, img, jnp.asarray(mask), 0.5)
+    replace = np.asarray(replace)[:, 0]
+    assert replace[~mask].sum() == 0  # never outside the mask
+    frac = replace[mask].mean()
+    assert 0.35 < frac < 0.65  # ~p inside the mask
+    vals = np.asarray(sp)
+    assert set(np.unique(vals)).issubset({-1.0, 1.0})
+
+
+def test_coi_mask_and_masked_tensor():
+    parsing = np.zeros((1, 512, 512), dtype=np.int32)
+    parsing[0, :256] = 1       # face class
+    parsing[0, 256:384] = 16   # cloth -> excluded
+    mask = np.asarray(coi_mask_from_parsing(jnp.asarray(parsing)))
+    assert mask[0, 100, 0] and not mask[0, 300, 0] and not mask[0, 400, 0]
+    img = jnp.ones((1, 3, 64, 64))
+    masked = np.asarray(get_masked_tensor(img, jnp.asarray(parsing)))
+    assert masked[0, 0, 10, 10] == 1.0 and masked[0, 0, 60, 10] == 0.0
+
+
+def test_content_aware_scores_shapes_and_grad_flow(gen_params):
+    scores = get_content_aware_pruning_score(
+        gen_params, CFG, parse_fn=None, n_sample=8, batch_size=4,
+        noise_prob=0.3, rng=jax.random.PRNGKey(7))
+    assert len(scores) == 2  # two batches
+    total = [np.zeros(w) for w in NET_SHAPE]
+    for batch_scores in scores:
+        assert len(batch_scores) == len(NET_SHAPE)
+        for i, s in enumerate(batch_scores):
+            assert s.shape == (NET_SHAPE[i],)
+            total[i] += s
+    # gradient must actually flow: saliency strictly positive somewhere
+    assert all(t.max() > 0 for t in total)
+
+
+def test_content_aware_scores_match_torch_oracle(gen_params):
+    """Same fixed z/noise/salt-pepper pattern through our jax.grad and the
+    reference-equivalent torch autograd (oracle model built from our params)."""
+    ref = load_reference_model()
+    sd = {k: torch.tensor(np.asarray(v))
+          for k, v in pytree_to_torch_state_dict(gen_params).items()}
+    g = ref.Generator(SIZE, 32, 2, generator_net_shape=list(NET_SHAPE))
+    from content_aware_gan_compression_tpu.utils.checkpoint import (
+        generator_fir_buffers)
+    sd.update({k: torch.tensor(np.asarray(v))
+               for k, v in generator_fir_buffers(CFG).items()})
+    g.load_state_dict(sd)
+
+    rng = np.random.RandomState(8)
+    z = rng.randn(3, 32).astype(np.float32)
+    noise_nchw = []
+    noise_nhwc = []
+    for layer_idx in range(CFG.num_layers):
+        res = 2 ** ((layer_idx + 5) // 2)
+        n = rng.randn(3, 1, res, res).astype(np.float32)
+        noise_nchw.append(torch.tensor(n))
+        noise_nhwc.append(jnp.asarray(np.transpose(n, (0, 2, 3, 1))))
+
+    sp = (rng.randint(0, 2, (3, 1, SIZE, SIZE)) * 2 - 1).astype(np.float32)
+    replace = (rng.rand(3, 1, SIZE, SIZE) < 0.3).astype(np.float32)
+
+    # torch side
+    img_t = g([torch.tensor(z)], noise=noise_nchw)
+    noisy = img_t.detach().clone()
+    rep = torch.tensor(replace).bool().expand_as(noisy)
+    noisy[rep] = torch.tensor(sp).expand_as(noisy)[rep]
+    loss = torch.sum(torch.abs(noisy - img_t))
+    loss.backward()
+    mods = [g.conv1] + list(g.convs) + [g.to_rgbs[-1]]
+    want = [torch.mean(torch.abs(m.conv.weight.grad), dim=(0, 1, 3, 4)).numpy()
+            for m in mods]
+
+    # jax side
+    from content_aware_gan_compression_tpu.pruning.content_aware import (
+        _grad_scores)
+    got = _grad_scores(gen_params, CFG, jnp.asarray(z), noise_nhwc,
+                       jnp.asarray(sp), jnp.asarray(replace))
+    for g_j, g_t in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g_j), g_t, rtol=1e-3, atol=1e-6)
