@@ -1,0 +1,149 @@
+"""FID evaluation (reference Evaluation/fid.py).
+
+Sharded, jitted sample->feature streaming on device; Frechet distance on the
+host with scipy.linalg.sqrtm in float64 (matching fid.py:41-64 exactly,
+including the singular-cov eps retry and imaginary-component check).
+
+Real-FFHQ statistics: the reference ships pre-stored pickles (missing blobs,
+SURVEY.md section 2.3); `compute_real_stats_from_folder` rebuilds them from
+an image folder (the calc_inception.py flow without the LMDB detour), and
+`get_model_fid_score` accepts either a pickle path or a stats dict.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.stylegan2 import generator_apply
+from ..models.inception import inception_pool3
+
+
+def _feature_step(g_params, inc_params, config, z, rng, truncation,
+                  truncation_latent):
+    img = generator_apply(
+        g_params, config, [z], truncation=truncation,
+        truncation_latent=truncation_latent, rng=rng)
+    # NB: [-1,1] images go straight into inception (which re-normalizes
+    # 2x-1), faithfully matching reference fid.py:32-33.
+    return inception_pool3(inc_params, img)
+
+
+def extract_feature_from_samples(
+    g_params, config, inc_params, *, truncation=1.0, truncation_latent=None,
+    batch_size=64, n_sample=50000, rng=None, info_print=False,
+):
+    """Stream pool3 features for n_sample generated images (reference
+    fid.py:19-38). Returns [n_sample-ish, 2048] float64 numpy."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    n_batch = n_sample // batch_size
+    resid = n_sample - (n_batch - 1) * batch_size
+    step = jax.jit(partial(_feature_step, config=config,
+                           truncation=truncation,
+                           truncation_latent=truncation_latent),
+                   static_argnames=())
+
+    feats = []
+    for idx in range(n_batch):
+        bs = batch_size if idx < n_batch - 1 else resid
+        rng, kz, kn = jax.random.split(rng, 3)
+        z = jax.random.normal(kz, (bs, config.style_dim))
+        if info_print and idx % 50 == 0:
+            print(f"FID features: batch {idx + 1}/{n_batch}")
+        feats.append(np.asarray(step(g_params, inc_params, z=z, rng=kn)))
+    return np.concatenate(feats, axis=0).astype(np.float64)
+
+
+def calc_fid(sample_mean, sample_cov, real_mean, real_cov, eps=1e-6):
+    """Frechet distance (reference fid.py:41-64)."""
+    from scipy import linalg
+
+    cov_sqrt, _ = linalg.sqrtm(sample_cov @ real_cov, disp=False)
+
+    if not np.isfinite(cov_sqrt).all():
+        print("product of cov matrices is singular")
+        offset = np.eye(sample_cov.shape[0]) * eps
+        cov_sqrt = linalg.sqrtm((sample_cov + offset) @ (real_cov + offset))
+
+    if np.iscomplexobj(cov_sqrt):
+        if not np.allclose(np.diagonal(cov_sqrt).imag, 0, atol=1e-3):
+            m = np.max(np.abs(cov_sqrt.imag))
+            raise ValueError(f"Imaginary component {m}")
+        cov_sqrt = cov_sqrt.real
+
+    mean_diff = sample_mean - real_mean
+    mean_norm = mean_diff @ mean_diff
+    trace = np.trace(sample_cov) + np.trace(real_cov) - 2 * np.trace(cov_sqrt)
+    return mean_norm + trace
+
+
+def load_real_stats(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def get_model_fid_score(
+    g_params, config, inc_params, real_stats, *, truncation=1.0,
+    truncation_latent=None, batch_size=100, num_sample=50000, rng=None,
+    info_print=False,
+):
+    """One-button FID (reference Get_Model_FID_Score, fid.py:67-121).
+    `real_stats`: {'mean','cov'} dict or a pickle path."""
+    if isinstance(real_stats, str):
+        real_stats = load_real_stats(real_stats)
+    start = time.time()
+    features = extract_feature_from_samples(
+        g_params, config, inc_params, truncation=truncation,
+        truncation_latent=truncation_latent, batch_size=batch_size,
+        n_sample=num_sample, rng=rng, info_print=info_print)
+    if info_print:
+        print(f"feature extraction took {time.time() - start:.2f}s, "
+              f"shape {features.shape}")
+    sample_mean = np.mean(features, 0)
+    sample_cov = np.cov(features, rowvar=False)
+    return calc_fid(sample_mean, sample_cov,
+                    real_stats["mean"], real_stats["cov"])
+
+
+def compute_real_stats_from_folder(
+    folder: str, inc_params, *, size: int, batch_size=64, n_sample=None,
+    save_path: str | None = None, info_print=False,
+):
+    """Build {'mean','cov'} Inception statistics from a folder of images —
+    replaces the missing pre-stored pickles (reference calc_inception.py flow,
+    keeping the same [-1,1]-input quirk as the generated-image path)."""
+    from PIL import Image
+
+    files = sorted(
+        os.path.join(folder, f) for f in os.listdir(folder)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp")))
+    if n_sample:
+        files = files[:n_sample]
+    if not files:
+        raise ValueError(f"no images found in {folder}")
+
+    step = jax.jit(lambda p, x: inception_pool3(p, x))
+    feats = []
+    batch = []
+    for i, f in enumerate(files):
+        img = Image.open(f).convert("RGB").resize((size, size), Image.LANCZOS)
+        arr = np.asarray(img, np.float32).transpose(2, 0, 1) / 127.5 - 1.0
+        batch.append(arr)
+        if len(batch) == batch_size or i == len(files) - 1:
+            feats.append(np.asarray(step(inc_params, jnp.asarray(np.stack(batch)))))
+            batch = []
+            if info_print:
+                print(f"real stats: {i + 1}/{len(files)} images")
+    features = np.concatenate(feats, 0).astype(np.float64)
+    stats = {"mean": np.mean(features, 0), "cov": np.cov(features, rowvar=False)}
+    if save_path:
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+        with open(save_path, "wb") as f:
+            pickle.dump(stats, f)
+    return stats
