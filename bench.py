@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark: distillation-retraining throughput on the real TPU chip.
+
+Measures the full per-iteration work of the reference's core loop (SURVEY.md
+section 3.2) on the 11x-compressed 256px student with the full-size teacher:
+D GAN step + G GAN+KD step every iteration, R1 every 16, path-length every 4,
+EMA every iteration — the same cadence as train_hyperparams.py.
+
+Prints ONE JSON line:
+  {"metric": "retrain_iters_per_sec", "value": N, "unit": "iter/s",
+   "vs_baseline": ...}
+
+Baseline: the reference retrains 450k iters in 131 h on 2x V100
+(README.md:110-115) = 0.954 iter/s. vs_baseline = ours / 0.954.
+"""
+
+import argparse
+import json
+import math
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+REFERENCE_ITERS_PER_SEC = 450000 / (131 * 3600)  # 2x V100, README.md:110-115
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--remove_ratio", type=float, default=0.7)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from content_aware_gan_compression_tpu.models import (
+        GeneratorConfig, DiscriminatorConfig, generator_init,
+        discriminator_init, default_net_shape)
+    from content_aware_gan_compression_tpu.parallel import (
+        make_mesh, shard_batch, replicate)
+    from content_aware_gan_compression_tpu.train import (
+        TrainConfig, make_train_steps, make_optimizers, ema_accumulate)
+
+    cfg = TrainConfig(generated_img_size=args.size,
+                      batch_size=args.batch_size,
+                      compute_dtype=args.dtype)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+
+    # 11x-compressed student: keep ceil(width * (1 - ratio)) per layer
+    full = default_net_shape(args.size)
+    student_shape = tuple(c - int(c * args.remove_ratio) for c in full)
+    g_config = GeneratorConfig(size=args.size, net_shape=student_shape)
+    t_config = GeneratorConfig(size=args.size)
+    d_config = DiscriminatorConfig(size=args.size)
+
+    mesh = make_mesh()
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3, rng = jax.random.split(rng, 4)
+    g_params = replicate(mesh, generator_init(k1, g_config))
+    t_params = replicate(mesh, generator_init(k2, t_config))
+    d_params = replicate(mesh, discriminator_init(k3, d_config))
+    g_ema = jax.tree_util.tree_map(lambda x: x, g_params)
+
+    g_opt, d_opt = make_optimizers(cfg)
+    g_opt_state = g_opt.init(g_params)
+    d_opt_state = d_opt.init(d_params)
+
+    d_step, d_reg_step, g_step, g_reg_step = make_train_steps(
+        g_config, d_config, cfg, teacher_config=t_config, dtype=dtype)
+    d_step = jax.jit(partial(d_step, d_opt=d_opt), donate_argnums=(1, 2))
+    d_reg_step = jax.jit(partial(d_reg_step, d_opt=d_opt),
+                         donate_argnums=(0, 1))
+    g_step = jax.jit(partial(g_step, g_opt=g_opt), donate_argnums=(0, 1))
+    g_reg_step = jax.jit(partial(g_reg_step, g_opt=g_opt),
+                         donate_argnums=(0, 1))
+    ema = jax.jit(ema_accumulate, donate_argnums=(0,))
+
+    real = shard_batch(mesh, jax.random.normal(
+        jax.random.PRNGKey(9), (args.batch_size, 3, args.size, args.size)))
+    mpl = jnp.asarray(0.0)
+
+    def one_iter(i, g_params, d_params, g_opt_state, d_opt_state, g_ema, mpl,
+                 rng):
+        rng, k_d, k_g, k_r = jax.random.split(rng, 4)
+        d_params, d_opt_state, _ = d_step(g_params, d_params, d_opt_state,
+                                          real, k_d)
+        if i % cfg.d_reg_freq == 0:
+            d_params, d_opt_state, _ = d_reg_step(d_params, d_opt_state, real)
+        g_params, g_opt_state, m = g_step(g_params, g_opt_state, d_params,
+                                          k_g, t_params, None, None)
+        if i % cfg.g_reg_freq == 0:
+            g_params, g_opt_state, mpl, _ = g_reg_step(g_params, g_opt_state,
+                                                       k_r, mpl)
+        g_ema = ema(g_ema, g_params, 0.5 ** (32 / 10000))
+        return g_params, d_params, g_opt_state, d_opt_state, g_ema, mpl, rng, m
+
+    state = (g_params, d_params, g_opt_state, d_opt_state, g_ema, mpl, rng)
+    for i in range(args.warmup):
+        *state, m = one_iter(i, *state)
+    jax.block_until_ready(m["g"])
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        *state, m = one_iter(i + args.warmup, *state)
+    jax.block_until_ready(m["g"])
+    dt = time.perf_counter() - t0
+
+    iters_per_sec = args.iters / dt
+    print(json.dumps({
+        "metric": "retrain_iters_per_sec",
+        "value": round(iters_per_sec, 4),
+        "unit": "iter/s",
+        "vs_baseline": round(iters_per_sec / REFERENCE_ITERS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

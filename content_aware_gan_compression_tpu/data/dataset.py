@@ -1,0 +1,109 @@
+"""FFHQ image-folder dataset + prefetching loader.
+
+Capability parity with reference dataset.py:8-28 (sorted folder listing,
+RGB decode) and the training transform (reference train.py:463-470: random
+horizontal flip, resize to `size`, normalize to [-1, 1]).
+
+TPU-native shape: instead of torch DataLoader worker processes feeding a
+DataParallel scatter, a thread pool decodes ahead into a bounded queue and
+the training loop device_puts each batch with the data-axis sharding — the
+host never blocks device steps as long as decode keeps up.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+
+
+class FFHQDataset:
+    """Sorted image-folder dataset (reference dataset.py:8-28)."""
+
+    def __init__(self, image_folder: str, size: int, random_flip: bool = True):
+        self.images_list = sorted(
+            os.path.join(image_folder, f) for f in os.listdir(image_folder)
+            if f.lower().endswith(_EXTS))
+        if not self.images_list:
+            raise ValueError(f"no images in {image_folder}")
+        self.size = size
+        self.random_flip = random_flip
+
+    def __len__(self):
+        return len(self.images_list)
+
+    def load(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        """Decode one image -> float32 NCHW in [-1, 1] with the reference's
+        train transform (flip -> resize -> normalize)."""
+        from PIL import Image
+
+        img = Image.open(self.images_list[index]).convert("RGB")
+        if self.random_flip and rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if img.size != (self.size, self.size):
+            img = img.resize((self.size, self.size), Image.BILINEAR)
+        arr = np.asarray(img, np.float32).transpose(2, 0, 1)
+        return arr / 127.5 - 1.0
+
+
+def data_loader(dataset: FFHQDataset, batch_size: int, *, seed: int = 0,
+                num_workers: int = 8, prefetch: int = 4, drop_last=True):
+    """Generator of [B, 3, H, W] numpy batches, shuffled each epoch, decoded
+    by a thread pool and buffered `prefetch` batches ahead."""
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def producer():
+        rng = np.random.default_rng(seed)
+        pool = ThreadPoolExecutor(max_workers=num_workers)
+        try:
+            while not stop.is_set():
+                order = rng.permutation(len(dataset))
+                n_full = len(order) // batch_size
+                for b in range(n_full if drop_last else n_full + 1):
+                    idxs = order[b * batch_size:(b + 1) * batch_size]
+                    if len(idxs) == 0:
+                        continue
+                    seeds = rng.integers(0, 2 ** 31, size=len(idxs))
+                    futs = [
+                        pool.submit(dataset.load, int(i),
+                                    np.random.default_rng(int(s)))
+                        for i, s in zip(idxs, seeds)
+                    ]
+                    batch = np.stack([f.result() for f in futs])
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=1.0)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+        finally:
+            pool.shutdown(wait=False)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+
+    class _Loader:
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            return q.get()
+
+        def close(self):
+            stop.set()
+
+    return _Loader()
+
+
+def infinite_loader(dataset: FFHQDataset, batch_size: int, **kw):
+    """Endless batch stream (the reference's sample_data wrapper,
+    train.py:136-139)."""
+    return data_loader(dataset, batch_size, **kw)

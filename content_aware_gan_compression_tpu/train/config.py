@@ -1,0 +1,59 @@
+"""Training configuration — names and defaults mirror the reference's
+train_hyperparams.py (lines 1-37) so every reference recipe maps 1:1."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+KNOWLEDGE_DISTILLATION_MODE = ("Output_Only", "Intermediate")
+LPIPS_IMAGE_SIZE = 256
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    # model / data
+    data_folder: str = ""
+    generated_img_size: int = 256
+    channel_multiplier: int = 2
+    latent: int = 512
+    n_mlp: int = 8
+    ckpt: str | None = None
+    load_train_state: bool = False
+
+    # optimization (reference train_hyperparams.py:17-25)
+    training_iters: int = 140001
+    batch_size: int = 16
+    init_lr: float = 0.002
+    discriminator_r1: float = 10.0
+    generator_path_reg_weight: float = 2.0
+    path_reg_batch_shrink: int = 2
+    g_reg_freq: int = 4
+    d_reg_freq: int = 16
+    noise_mixing: float = 0.9
+
+    # validation / checkpointing (reference train_hyperparams.py:27-31)
+    val_sample_num: int = 25
+    val_sample_freq: int = 1000
+    model_save_freq: int = 10000
+    fid_n_sample: int = 50000
+    fid_batch: int = 32
+
+    # knowledge distillation (reference train_hyperparams.py:33-37)
+    teacher: str | None = None
+    kd_l1_lambda: float = 3.0
+    kd_lpips_lambda: float = 3.0
+    kd_mode: str = "Output_Only"
+    content_aware_KD: bool = True
+
+    # TPU-native extras
+    seed: int = 0
+    compute_dtype: str = "float32"    # 'bfloat16' for the fast path
+    n_devices: int | None = None      # None -> all local devices
+
+    @property
+    def g_reg_ratio(self) -> float:
+        return self.g_reg_freq / (self.g_reg_freq + 1)
+
+    @property
+    def d_reg_ratio(self) -> float:
+        return self.d_reg_freq / (self.d_reg_freq + 1)

@@ -1,0 +1,268 @@
+"""The distillation retraining loop (reference train.py:341-452) as an SPMD
+program over the data mesh: jitted D/G steps with lazy regularization, EMA,
+reference-format logging, sample grids, in-loop FID, and self-describing
+checkpoints with optimizer state.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import random
+
+from ..data import FFHQDataset, infinite_loader
+from ..models.stylegan2 import (
+    GeneratorConfig, DiscriminatorConfig, generator_init, discriminator_init,
+    generator_apply,
+)
+from ..parallel import make_mesh, shard_batch, replicate
+from ..utils.checkpoint import (
+    load_torch_checkpoint, torch_state_dict_to_pytree,
+    build_generator_from_pytree, save_checkpoint, load_checkpoint,
+)
+from ..utils.logging import ExperimentLogger, save_image_grid
+from .config import TrainConfig
+from .steps import make_train_steps, make_optimizers, ema_accumulate
+
+
+def _opt_state_to_tree(state):
+    return {str(i): leaf for i, leaf in
+            enumerate(jax.tree_util.tree_leaves(state))}
+
+
+def _opt_state_from_tree(tree, template):
+    leaves = [jnp.asarray(tree[str(i)]) for i in range(len(tree))]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), leaves)
+
+
+def _load_generator_tree(ckpt, key):
+    tree = ckpt[key]
+    if tree and not isinstance(next(iter(tree.values())), dict):
+        tree = torch_state_dict_to_pytree(tree)
+    return tree
+
+
+def load_training_checkpoint(path: str):
+    """Load {'g','d','g_ema'[,'g_optim','d_optim']} from torch .pt/.pth or
+    native .npz into nested pytrees."""
+    if path.endswith(".npz"):
+        trees, metadata = load_checkpoint(path)
+        return trees, metadata
+    ckpt = load_torch_checkpoint(path)
+    trees = {}
+    for k in ("g", "d", "g_ema"):
+        if k in ckpt:
+            trees[k] = _load_generator_tree(ckpt, k)
+    return trees, {}
+
+
+class Trainer:
+    """Builds models/optimizers/steps from a TrainConfig; `run()` executes
+    the reference loop."""
+
+    def __init__(self, cfg: TrainConfig, *, lpips_params=None,
+                 parse_params=None, inception_params=None, real_stats=None,
+                 exp_root=".", mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.n_devices)
+        self.dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                      else None)
+        rng = random.PRNGKey(cfg.seed)
+        self.rng, k_g, k_d = random.split(rng, 3)
+
+        d_config = DiscriminatorConfig(
+            size=cfg.generated_img_size,
+            channel_multiplier=cfg.channel_multiplier)
+        self.d_config = d_config
+
+        # --- student G/D + g_ema (reference train.py:483-496) --------------
+        self.metadata = {}
+        if cfg.ckpt:
+            trees, self.metadata = load_training_checkpoint(cfg.ckpt)
+            self.g_params, self.g_config = build_generator_from_pytree(
+                trees["g"], size=cfg.generated_img_size,
+                style_dim=cfg.latent, n_mlp=cfg.n_mlp)
+            self.g_ema_params, _ = build_generator_from_pytree(
+                trees["g_ema"], size=cfg.generated_img_size,
+                style_dim=cfg.latent, n_mlp=cfg.n_mlp)
+            self.d_params = trees.get("d") or discriminator_init(k_d, d_config)
+            self._ckpt_trees = trees
+        else:
+            self.g_config = GeneratorConfig(
+                size=cfg.generated_img_size, style_dim=cfg.latent,
+                n_mlp=cfg.n_mlp, channel_multiplier=cfg.channel_multiplier)
+            self.g_params = generator_init(k_g, self.g_config)
+            self.g_ema_params = jax.tree_util.tree_map(
+                lambda x: x, self.g_params)
+            self.d_params = discriminator_init(k_d, d_config)
+            self._ckpt_trees = {}
+
+        # --- teacher (reference train.py:500-506) ---------------------------
+        self.teacher_params = None
+        self.teacher_config = None
+        if cfg.teacher:
+            t_trees, _ = load_training_checkpoint(cfg.teacher)
+            self.teacher_params, self.teacher_config = \
+                build_generator_from_pytree(
+                    t_trees["g_ema"], size=cfg.generated_img_size,
+                    style_dim=cfg.latent, n_mlp=cfg.n_mlp)
+
+        self.lpips_params = lpips_params if (
+            cfg.teacher and cfg.kd_lpips_lambda > 0) else None
+        self.parse_params = parse_params if (
+            cfg.teacher and cfg.content_aware_KD) else None
+        self.inception_params = inception_params
+        self.real_stats = real_stats
+
+        # --- optimizers ------------------------------------------------------
+        self.g_opt, self.d_opt = make_optimizers(cfg)
+        self.g_opt_state = self.g_opt.init(self.g_params)
+        self.d_opt_state = self.d_opt.init(self.d_params)
+        self.start_iter = 0
+        if cfg.load_train_state and self._ckpt_trees.get("g_optim"):
+            self.g_opt_state = _opt_state_from_tree(
+                self._ckpt_trees["g_optim"], self.g_opt_state)
+            self.d_opt_state = _opt_state_from_tree(
+                self._ckpt_trees["d_optim"], self.d_opt_state)
+            # reference parses the iteration out of the filename
+            # (train.py:541); we prefer the metadata but keep the fallback.
+            if "iter" in self.metadata:
+                self.start_iter = int(self.metadata["iter"]) + 1
+            else:
+                try:
+                    self.start_iter = int(cfg.ckpt[-9:-3]) + 1
+                except ValueError:
+                    self.start_iter = 0
+
+        # --- jitted steps -----------------------------------------------------
+        d_step, d_reg_step, g_step, g_reg_step = make_train_steps(
+            self.g_config, d_config, cfg, teacher_config=self.teacher_config,
+            dtype=self.dtype)
+        self._d_step = jax.jit(partial(d_step, d_opt=self.d_opt))
+        self._d_reg_step = jax.jit(partial(d_reg_step, d_opt=self.d_opt))
+        self._g_step = jax.jit(partial(g_step, g_opt=self.g_opt))
+        self._g_reg_step = jax.jit(partial(g_reg_step, g_opt=self.g_opt))
+        self._ema = jax.jit(ema_accumulate)
+
+        # replicate state over the mesh
+        self.g_params = replicate(self.mesh, self.g_params)
+        self.d_params = replicate(self.mesh, self.d_params)
+        self.g_ema_params = replicate(self.mesh, self.g_ema_params)
+        if self.teacher_params is not None:
+            self.teacher_params = replicate(self.mesh, self.teacher_params)
+        if self.lpips_params is not None:
+            self.lpips_params = replicate(self.mesh, self.lpips_params)
+        if self.parse_params is not None:
+            self.parse_params = replicate(self.mesh, self.parse_params)
+
+        self.exp_root = exp_root
+
+    # -------------------------------------------------------------------------
+    def step(self, iter_idx: int, real_img, mean_path_length):
+        """One reference iteration (train.py:371-398). Returns metrics dict
+        and the updated mean_path_length."""
+        cfg = self.cfg
+        metrics = {}
+        self.rng, k_d, k_g, k_greg = random.split(self.rng, 4)
+
+        real = shard_batch(self.mesh, jnp.asarray(real_img))
+
+        self.d_params, self.d_opt_state, m = self._d_step(
+            self.g_params, self.d_params, self.d_opt_state, real, k_d)
+        metrics.update(m)
+
+        if iter_idx % cfg.d_reg_freq == 0:
+            self.d_params, self.d_opt_state, m = self._d_reg_step(
+                self.d_params, self.d_opt_state, real)
+            metrics.update(m)
+
+        self.g_params, self.g_opt_state, m = self._g_step(
+            self.g_params, self.g_opt_state, self.d_params, k_g,
+            self.teacher_params, self.lpips_params, self.parse_params)
+        metrics.update(m)
+
+        if iter_idx % cfg.g_reg_freq == 0:
+            self.g_params, self.g_opt_state, mean_path_length, m = \
+                self._g_reg_step(self.g_params, self.g_opt_state, k_greg,
+                                 mean_path_length)
+            metrics.update(m)
+
+        accum = 0.5 ** (32 / (10 * 1000))  # reference train.py:367
+        self.g_ema_params = self._ema(self.g_ema_params, self.g_params, accum)
+        return metrics, mean_path_length
+
+    # -------------------------------------------------------------------------
+    def save(self, logger: ExperimentLogger, iter_idx: int):
+        path = os.path.join(logger.ckpt_dir, f"{str(iter_idx).zfill(6)}.npz")
+        save_checkpoint(path, {
+            "g": self.g_params,
+            "d": self.d_params,
+            "g_ema": self.g_ema_params,
+            "g_optim": _opt_state_to_tree(self.g_opt_state),
+            "d_optim": _opt_state_to_tree(self.d_opt_state),
+        }, metadata={"iter": iter_idx,
+                     "size": self.cfg.generated_img_size,
+                     "net_shape": list(self.g_config.net_shape)})
+        return path
+
+    def run(self, *, max_iters: int | None = None, logger=None,
+            data_seed=None):
+        cfg = self.cfg
+        logger = logger or ExperimentLogger(self.exp_root)
+        dataset = FFHQDataset(cfg.data_folder, cfg.generated_img_size)
+        loader = infinite_loader(dataset, cfg.batch_size,
+                                 seed=data_seed if data_seed is not None
+                                 else cfg.seed)
+
+        self.rng, k_sample = random.split(self.rng)
+        sample_z = random.normal(k_sample, (cfg.val_sample_num, cfg.latent))
+
+        mean_path_length = jnp.asarray(0.0)
+        last_metrics = {"r1": 0.0, "path": 0.0, "path_length": 0.0}
+        end = min(cfg.training_iters,
+                  self.start_iter + max_iters if max_iters else
+                  cfg.training_iters)
+        try:
+            for iter_idx in range(self.start_iter, end):
+                t0 = time.time()
+                real_img = next(loader)
+                metrics, mean_path_length = self.step(
+                    iter_idx, real_img, mean_path_length)
+                jax.block_until_ready(metrics.get("g", metrics.get("d")))
+                last_metrics.update(
+                    {k: float(v) for k, v in metrics.items()})
+                last_metrics["mean_path_avg"] = float(mean_path_length)
+                logger.log_iteration(iter_idx, time.time() - t0, last_metrics)
+
+                if iter_idx % cfg.val_sample_freq == 0:
+                    self.rng, k_noise = random.split(self.rng)
+                    sample = generator_apply(
+                        self.g_ema_params, self.g_config, [sample_z],
+                        rng=k_noise)
+                    save_image_grid(
+                        sample,
+                        os.path.join(logger.sample_dir,
+                                     f"{str(iter_idx).zfill(6)}.png"),
+                        nrow=int(cfg.val_sample_num ** 0.5))
+
+                if iter_idx % cfg.model_save_freq == 0 and iter_idx > 0:
+                    if (self.inception_params is not None
+                            and self.real_stats is not None):
+                        from ..evaluation import get_model_fid_score
+                        fid = get_model_fid_score(
+                            self.g_ema_params, self.g_config,
+                            self.inception_params, self.real_stats,
+                            batch_size=cfg.fid_batch,
+                            num_sample=cfg.fid_n_sample)
+                        logger.log_fid(fid)
+                    self.save(logger, iter_idx)
+        finally:
+            loader.close()
+        return logger

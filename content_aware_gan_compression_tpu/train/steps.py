@@ -1,0 +1,200 @@
+"""Jitted SPMD training steps (reference train.py:241-338 phase functions).
+
+Each phase (D GAN, D R1, G GAN+KD, G path-length) is one jitted function:
+params/optimizer states replicated over the mesh, image batches sharded on
+the data axis, gradient reductions inserted by XLA. The reference's
+requires_grad toggling disappears — each step differentiates exactly its own
+param tree. Double-backprop regularizers are plain jax.grad-of-grad.
+
+Style mixing is unified into a single trace: two latents are always drawn
+and the no-mixing case is inject_index == n_latent (all layers take latent
+1), which is mathematically identical to the reference's 1-latent branch
+(train.py:218-237) while keeping inject_index a traced scalar.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import random
+
+from ..models.stylegan2 import (
+    GeneratorConfig, DiscriminatorConfig, generator_apply, discriminator_apply,
+)
+from .losses import d_logistic_loss, g_nonsaturating_loss, kd_loss
+from .config import TrainConfig, LPIPS_IMAGE_SIZE
+
+
+def make_optimizers(cfg: TrainConfig):
+    """Reg-ratio-scaled Adam pair (reference train.py:528-537):
+    lr * ratio, betas (0^ratio, 0.99^ratio)."""
+    g_r, d_r = cfg.g_reg_ratio, cfg.d_reg_ratio
+    g_opt = optax.adam(cfg.init_lr * g_r, b1=0.0 ** g_r, b2=0.99 ** g_r,
+                       eps=1e-8)
+    d_opt = optax.adam(cfg.init_lr * d_r, b1=0.0 ** d_r, b2=0.99 ** d_r,
+                       eps=1e-8)
+    return g_opt, d_opt
+
+
+def ema_accumulate(g_ema_params, g_params, decay):
+    """g_ema = decay * g_ema + (1-decay) * g (reference accumulate,
+    train.py:124-129). Noise buffers ride along unchanged (they receive no
+    updates on either side, matching torch's named_parameters exclusion)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p, g_ema_params, g_params)
+
+
+def _mixing_latents(rng, batch, cfg: TrainConfig, n_latent):
+    """Two z draws + a traced inject_index implementing mixing_noise /
+    index_aware_mixing_noise (reference train.py:218-237)."""
+    k_z, k_p, k_i = random.split(rng, 3)
+    z = random.normal(k_z, (2, batch, cfg.latent))
+    do_mix = random.uniform(k_p) < cfg.noise_mixing
+    inject_index = jnp.where(do_mix,
+                             random.randint(k_i, (), 1, n_latent),
+                             n_latent)
+    return [z[0], z[1]], inject_index
+
+
+def make_train_steps(
+    g_config: GeneratorConfig,
+    d_config: DiscriminatorConfig,
+    cfg: TrainConfig,
+    *,
+    teacher_config: GeneratorConfig | None = None,
+    use_lpips: bool = False,
+    use_parsing: bool = False,
+    dtype=None,
+):
+    """Build the four jitted step functions. Static model configs are closed
+    over; teacher/lpips/parsing params are passed as (possibly None) args
+    bound at jit time via functools.partial in the loop."""
+
+    batch = cfg.batch_size
+    n_latent = g_config.n_latent
+
+    # ---------------- D GAN step (reference D_Loss_BackProp) ----------------
+    def d_step(g_params, d_params, d_opt_state, real_img, rng, d_opt):
+        k_mix, k_noise = random.split(rng)
+        zs, inject_index = _mixing_latents(k_mix, batch, cfg, n_latent)
+        fake_img = generator_apply(
+            g_params, g_config, zs, inject_index=inject_index, rng=k_noise,
+            dtype=dtype)
+        fake_img = jax.lax.stop_gradient(fake_img)
+
+        def loss_fn(dp):
+            fake_pred = discriminator_apply(dp, d_config, fake_img, dtype=dtype)
+            real_pred = discriminator_apply(dp, d_config, real_img, dtype=dtype)
+            loss = d_logistic_loss(real_pred.astype(jnp.float32),
+                                   fake_pred.astype(jnp.float32))
+            return loss, (real_pred.mean(), fake_pred.mean())
+
+        (d_loss, (real_s, fake_s)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(d_params)
+        updates, d_opt_state = d_opt.update(grads, d_opt_state, d_params)
+        d_params = optax.apply_updates(d_params, updates)
+        metrics = {"d": d_loss, "real_score": real_s, "fake_score": fake_s}
+        return d_params, d_opt_state, metrics
+
+    # ---------------- D R1 step (reference D_Reg_BackProp) ------------------
+    def d_reg_step(d_params, d_opt_state, real_img, d_opt):
+        def loss_fn(dp):
+            def score_sum(img):
+                return discriminator_apply(dp, d_config, img, dtype=dtype
+                                           ).astype(jnp.float32).sum()
+            grad_real = jax.grad(score_sum)(real_img)
+            r1 = jnp.mean(jnp.sum(jnp.square(
+                grad_real.reshape(grad_real.shape[0], -1)), axis=1))
+            return cfg.discriminator_r1 / 2 * r1 * cfg.d_reg_freq, r1
+
+        (_, r1_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_params)
+        updates, d_opt_state = d_opt.update(grads, d_opt_state, d_params)
+        d_params = optax.apply_updates(d_params, updates)
+        return d_params, d_opt_state, {"r1": r1_loss}
+
+    # ---------------- G GAN+KD step (reference G_Loss_BackProp) -------------
+    def g_step(g_params, g_opt_state, d_params, real_rng,
+               teacher_params, lpips_params, parse_params, g_opt):
+        k_mix, k_noise, k_tnoise = random.split(real_rng, 3)
+        zs, inject_index = _mixing_latents(k_mix, batch, cfg, n_latent)
+
+        teacher_list = None
+        if teacher_params is not None:
+            teacher_list = generator_apply(
+                teacher_params, teacher_config, zs,
+                inject_index=inject_index, rng=k_tnoise,
+                return_rgb_list=True, dtype=dtype)
+            teacher_list = [jax.lax.stop_gradient(t) for t in teacher_list]
+
+        parse_fn = None
+        if parse_params is not None:
+            from ..models.bisenet import bisenet_apply
+
+            def parse_fn(x):
+                return bisenet_apply(parse_params, x)[0]
+
+        def loss_fn(gp):
+            fake_list = generator_apply(
+                gp, g_config, zs, inject_index=inject_index, rng=k_noise,
+                return_rgb_list=True, dtype=dtype)
+            fake_img = fake_list[-1]
+            fake_pred = discriminator_apply(d_params, d_config, fake_img,
+                                            dtype=dtype)
+            g_loss = g_nonsaturating_loss(fake_pred.astype(jnp.float32))
+            metrics = {"g": g_loss}
+            total = g_loss
+            if teacher_list is not None:
+                kd_l1, kd_lpips = kd_loss(
+                    fake_img.astype(jnp.float32),
+                    [f.astype(jnp.float32) for f in fake_list],
+                    [t.astype(jnp.float32) for t in teacher_list],
+                    kd_l1_lambda=cfg.kd_l1_lambda,
+                    kd_lpips_lambda=cfg.kd_lpips_lambda,
+                    kd_mode=cfg.kd_mode, size=cfg.generated_img_size,
+                    lpips_params=lpips_params, parse_fn=parse_fn,
+                    lpips_image_size=LPIPS_IMAGE_SIZE)
+                metrics["kd_l1_loss"] = kd_l1
+                metrics["kd_lpips_loss"] = kd_lpips
+                total = g_loss + kd_l1 + kd_lpips
+            return total, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_params)
+        updates, g_opt_state = g_opt.update(grads, g_opt_state, g_params)
+        g_params = optax.apply_updates(g_params, updates)
+        return g_params, g_opt_state, metrics
+
+    # ---------------- G path-length step (reference G_Reg_BackProp) ---------
+    def g_reg_step(g_params, g_opt_state, rng, mean_path_length, g_opt):
+        path_batch = max(1, batch // cfg.path_reg_batch_shrink)
+        k_mix, k_noise, k_ppl = random.split(rng, 3)
+        k_z, k_p, k_i = random.split(k_mix, 3)
+        z = random.normal(k_z, (2, path_batch, cfg.latent))
+        do_mix = random.uniform(k_p) < cfg.noise_mixing
+        inject_index = jnp.where(
+            do_mix, random.randint(k_i, (), 1, n_latent), n_latent)
+
+        def loss_fn(gp):
+            _, path_lengths = generator_apply(
+                gp, g_config, [z[0], z[1]], inject_index=inject_index,
+                rng=k_noise, PPL_regularize=True, ppl_rng=k_ppl, dtype=dtype)
+            path_mean = mean_path_length + 0.01 * (
+                path_lengths.mean() - mean_path_length)
+            path_loss = jnp.mean(jnp.square(path_lengths - path_mean))
+            weighted = (cfg.generator_path_reg_weight * cfg.g_reg_freq
+                        * path_loss)
+            return weighted, (path_loss, path_lengths.mean(),
+                              jax.lax.stop_gradient(path_mean))
+
+        (_, (path_loss, path_len, new_mpl)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(g_params)
+        updates, g_opt_state = g_opt.update(grads, g_opt_state, g_params)
+        g_params = optax.apply_updates(g_params, updates)
+        metrics = {"path": path_loss, "path_length": path_len}
+        return g_params, g_opt_state, new_mpl, metrics
+
+    return d_step, d_reg_step, g_step, g_reg_step
