@@ -65,7 +65,7 @@ def main():
     g_params = replicate(mesh, generator_init(k1, g_config))
     t_params = replicate(mesh, generator_init(k2, t_config))
     d_params = replicate(mesh, discriminator_init(k3, d_config))
-    g_ema = jax.tree_util.tree_map(lambda x: x, g_params)
+    g_ema = jax.tree_util.tree_map(jnp.copy, g_params)  # true copy: g_params buffers are donated
 
     g_opt, d_opt = make_optimizers(cfg)
     g_opt_state = g_opt.init(g_params)

@@ -321,8 +321,9 @@ def generator_init(key, config: GeneratorConfig) -> Params:
     """Init a generator param pytree (torch-init-equivalent distributions)."""
     ns = config.net_shape
     D = config.style_dim
-    n_keys = config.n_mlp + 3 + 2 * (config.log_size - 2) * 2
-    keys = iter(random.split(key, n_keys + 8))
+    n_keys = (config.n_mlp + 4 + config.num_layers
+              + 3 * (len(ns) // 2) + 8)
+    keys = iter(random.split(key, n_keys))
 
     style = {}
     for i in range(config.n_mlp):

@@ -1,0 +1,273 @@
+"""GAN-Slimming-style sparsity baseline trainer (reference
+Miscellaneous/train_sparsity.py): standard GAN + KD training with an L1
+sparsity penalty on the per-layer modulation scalars, plus periodic
+in-training pruning (l1-style metric by default) with optimizer reset.
+
+Notes on reference parity:
+  * `Util.GAN_Slimming_Util` (VGGFeature / perceptual_loss) is missing from
+    the reference repo (SURVEY.md section 2.3); the 'VGG' percept mode is
+    reconstructed as an MSE over the 5 LPIPS-VGG16 feature slices.
+  * The sparsity trainer downsamples with avg_pool (kernel=stride=size/256),
+    not bilinear (train_sparsity.py:245-249) — replicated.
+  * In-training pruning changes tensor shapes: in JAX that means a re-trace;
+    the trainer rebuilds configs, optimizers, and jitted steps after each
+    prune event (the reference rebuilds modules + optimizers the same way,
+    train_sparsity.py:424-457).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import random
+
+from ..models.stylegan2 import (
+    GeneratorConfig, generator_apply, net_shape_from_params,
+)
+from ..models.lpips import vgg16_features
+from ..pruning import (
+    get_network_score_list, get_uniform_remove_list, generate_prune_mask_list,
+    mask_the_generator,
+)
+from ..utils.calculators import styled_conv_flops, GENERATOR_FLOPS_256PX
+from .config import TrainConfig
+from .losses import d_logistic_loss, g_nonsaturating_loss
+from .steps import make_train_steps, make_optimizers, ema_accumulate, _mixing_latents
+from .loop import Trainer
+
+
+def l1_style_sparse_loss(style_list, eta):
+    """eta * sum_layers ||mean_batch(style)||_1 (reference
+    train_sparsity.py:261-274)."""
+    total = 0.0
+    for s in style_list:
+        total = total + jnp.sum(jnp.abs(jnp.mean(s, axis=0)))
+    return eta * total
+
+
+def vgg_perceptual_loss(lpips_params, a, b):
+    """Reconstruction of the missing GAN_Slimming_Util.perceptual_loss:
+    MSE over the LPIPS VGG16 feature slices."""
+    fa = vgg16_features(lpips_params["vgg"], a)
+    fb = vgg16_features(lpips_params["vgg"], b)
+    return sum(jnp.mean(jnp.square(x - y)) for x, y in zip(fa, fb))
+
+
+def _avg_pool_to_256(img_nchw, size):
+    k = size // 256
+    if k <= 1:
+        return img_nchw
+    x = jnp.transpose(img_nchw, (0, 2, 3, 1))
+    x = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, k, k, 1),
+                              (1, k, k, 1), "VALID") / (k * k)
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def get_network_prune_mask(network_score, net_shape, *, pruning_mode,
+                           lay_rmve_ratio, num_rmve_channel,
+                           full_shape_256=None):
+    """Layer_Uniform or Global_Number masks (reference
+    train_sparsity.py:405-421). Layer_Uniform takes the remove counts off the
+    FULL 256px shape (GENERATOR_SHAPE_256PX), as the reference does."""
+    if pruning_mode == "Layer_Uniform":
+        from ..models.stylegan2 import default_net_shape
+
+        base = full_shape_256 or list(default_net_shape(256))
+        rmve_list = get_uniform_remove_list(base, lay_rmve_ratio)
+        return generate_prune_mask_list(network_score, net_shape, rmve_list)
+    if pruning_mode == "Global_Number":
+        all_scores = sorted(itertools.chain.from_iterable(
+            np.asarray(s).tolist() for s in network_score))
+        thres = all_scores[int(num_rmve_channel)]
+        return [np.asarray(s) > thres for s in network_score]
+    raise ValueError(pruning_mode)
+
+
+class SparsityTrainer(Trainer):
+    """Trainer with the sparse-style G loss and periodic in-training pruning.
+
+    Extra config knobs arrive via `sparsity_opts`:
+      sparsity_eta, model_prune_freq, lay_rmve_ratio, num_rmve_channel,
+      prune_metric, pruning_mode, kd_percept_mode ('LPIPS'|'VGG').
+    """
+
+    def __init__(self, cfg: TrainConfig, sparsity_opts: dict, **kw):
+        self.opts = dict(
+            sparsity_eta=1e-5, model_prune_freq=500000, lay_rmve_ratio=0.1,
+            num_rmve_channel=588, prune_metric="l1-style",
+            pruning_mode="Global_Number", kd_percept_mode="VGG")
+        self.opts.update(sparsity_opts)
+        super().__init__(cfg, **kw)
+        self._build_sparse_g_step()
+
+    # the sparse G step replaces the parent's jitted g_step
+    def _build_sparse_g_step(self):
+        cfg = self.cfg
+        g_config = self.g_config
+        t_config = self.teacher_config
+        opts = self.opts
+        batch = cfg.batch_size
+        n_latent = g_config.n_latent
+        d_config = self.d_config
+        from ..models.stylegan2 import discriminator_apply
+
+        def g_step(g_params, g_opt_state, d_params, rng,
+                   teacher_params, lpips_params, parse_params, g_opt):
+            k_mix, k_noise, k_tnoise = random.split(rng, 3)
+            zs, inject_index = _mixing_latents(k_mix, batch, cfg, n_latent)
+
+            teacher_list = None
+            if teacher_params is not None:
+                teacher_list = generator_apply(
+                    teacher_params, t_config, zs, inject_index=inject_index,
+                    rng=k_tnoise, return_rgb_list=True)
+                teacher_list = [jax.lax.stop_gradient(t) for t in teacher_list]
+
+            def loss_fn(gp):
+                fake_list, style_list = generator_apply(
+                    gp, g_config, zs, inject_index=inject_index, rng=k_noise,
+                    return_rgb_list=True, return_style_scalars=True)
+                fake_img = fake_list[-1]
+                fake_pred = discriminator_apply(d_params, d_config, fake_img)
+                g_loss = g_nonsaturating_loss(fake_pred)
+                sparse = l1_style_sparse_loss(style_list, opts["sparsity_eta"])
+                metrics = {"g": g_loss, "sparse": sparse}
+                total = g_loss + sparse
+                if teacher_list is not None:
+                    t_img = teacher_list[-1]
+                    if cfg.kd_mode == "Output_Only":
+                        kd_l1 = cfg.kd_l1_lambda * jnp.mean(
+                            jnp.abs(t_img - fake_img))
+                    else:
+                        kd_l1 = cfg.kd_l1_lambda * sum(
+                            jnp.mean(jnp.abs(t - s))
+                            for t, s in zip(teacher_list, fake_list))
+                    a = _avg_pool_to_256(fake_img, cfg.generated_img_size)
+                    b = _avg_pool_to_256(t_img, cfg.generated_img_size)
+                    if lpips_params is not None:
+                        if opts["kd_percept_mode"] == "VGG":
+                            kd_p = cfg.kd_lpips_lambda * vgg_perceptual_loss(
+                                lpips_params, a, b)
+                        else:
+                            from ..models.lpips import lpips_apply
+                            kd_p = cfg.kd_lpips_lambda * jnp.mean(
+                                lpips_apply(lpips_params, a, b))
+                    else:
+                        kd_p = jnp.asarray(0.0)
+                    metrics["kd_l1_loss"] = kd_l1
+                    metrics["kd_percept_loss"] = kd_p
+                    total = total + kd_l1 + kd_p
+                return total, metrics
+
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(g_params)
+            updates, g_opt_state = g_opt.update(grads, g_opt_state, g_params)
+            g_params = optax.apply_updates(g_params, updates)
+            return g_params, g_opt_state, metrics
+
+        self._g_step = jax.jit(partial(g_step, g_opt=self.g_opt))
+
+    def prune_in_training(self, rng):
+        """Score -> mask -> slice g and g_ema -> rebuild optimizers and steps
+        (reference Prune_Generator, train_sparsity.py:424-457). Returns
+        (new_shape, flops_pct)."""
+        opts = self.opts
+        z = random.normal(rng, (500, self.cfg.latent))
+        score = get_network_score_list(
+            self.g_ema_params, self.g_config, z, opts["prune_metric"],
+            rng=rng)
+        net_shape = list(self.g_config.net_shape)
+        masks = get_network_prune_mask(
+            score, net_shape, pruning_mode=opts["pruning_mode"],
+            lay_rmve_ratio=opts["lay_rmve_ratio"],
+            num_rmve_channel=opts["num_rmve_channel"])
+        self.g_ema_params = mask_the_generator(self.g_ema_params, masks)
+        self.g_params = mask_the_generator(self.g_params, masks)
+        new_shape = net_shape_from_params(self.g_ema_params)
+        self.g_config = self.g_config.with_net_shape(new_shape)
+
+        # reset optimizers + re-jit (shapes changed)
+        self.g_opt, self.d_opt = make_optimizers(self.cfg)
+        self.g_opt_state = self.g_opt.init(self.g_params)
+        self.d_opt_state = self.d_opt.init(self.d_params)
+        d_step, d_reg_step, _, g_reg_step = make_train_steps(
+            self.g_config, self.d_config, self.cfg,
+            teacher_config=self.teacher_config, dtype=self.dtype)
+        self._d_step = jax.jit(partial(d_step, d_opt=self.d_opt))
+        self._d_reg_step = jax.jit(partial(d_reg_step, d_opt=self.d_opt))
+        g_reg = jax.jit(partial(g_reg_step, g_opt=self.g_opt))
+        self._g_reg_step = g_reg
+        self._build_sparse_g_step()
+
+        flops = styled_conv_flops(tuple(new_shape), return_detail=False)
+        return new_shape, flops / GENERATOR_FLOPS_256PX * 100.0
+
+    def run_sparsity(self, *, max_iters=None, logger=None):
+        """Main loop with pruning events (reference train_sparsity.py:
+        470-578). Reuses Trainer.step for D/G/reg cadence."""
+        from ..data import FFHQDataset, infinite_loader
+        from ..utils.logging import ExperimentLogger, save_image_grid
+
+        cfg = self.cfg
+        logger = logger or ExperimentLogger(self.exp_root)
+        dataset = FFHQDataset(cfg.data_folder, cfg.generated_img_size)
+        loader = infinite_loader(dataset, cfg.batch_size, seed=cfg.seed)
+        self.rng, k_sample = random.split(self.rng)
+        sample_z = random.normal(k_sample, (cfg.val_sample_num, cfg.latent))
+
+        mean_path_length = jnp.asarray(0.0)
+        last = {"r1": 0.0, "path": 0.0, "sparse": 0.0}
+        end = min(cfg.training_iters,
+                  self.start_iter + max_iters if max_iters else
+                  cfg.training_iters)
+        try:
+            for iter_idx in range(self.start_iter, end):
+                t0 = time.time()
+                real_img = next(loader)
+                metrics, mean_path_length = self.step(
+                    iter_idx, real_img, mean_path_length)
+                last.update({k: float(v) for k, v in metrics.items()})
+                logger.write(
+                    f"Iter #: {iter_idx} Train Time: "
+                    f"{round(time.time() - t0, 2)}"
+                    f" D_Loss: {round(last.get('d', 0), 3)}"
+                    f" G_Loss: {round(last.get('g', 0), 3)}"
+                    f" Sparse_Loss: {round(last.get('sparse', 0), 3)}"
+                    f" KD_L1_Loss: {round(last.get('kd_l1_loss', 0), 3)}"
+                    f" KD_Percept_Loss: "
+                    f"{round(last.get('kd_percept_loss', 0), 3)}"
+                    f" D_Reg: {round(last.get('r1', 0), 3)}"
+                    f" G_Reg: {round(last.get('path', 0), 3)}"
+                    f" G_Mean_Path: {round(float(mean_path_length), 4)}\n")
+
+                if iter_idx % cfg.val_sample_freq == 0:
+                    self.rng, k_noise = random.split(self.rng)
+                    sample = generator_apply(
+                        self.g_ema_params, self.g_config, [sample_z],
+                        rng=k_noise)
+                    save_image_grid(
+                        sample, os.path.join(
+                            logger.sample_dir, f"{str(iter_idx).zfill(6)}.png"),
+                        nrow=int(cfg.val_sample_num ** 0.5))
+
+                if iter_idx % cfg.model_save_freq == 0 and iter_idx > 0:
+                    self.save(logger, iter_idx)
+
+                if (iter_idx % self.opts["model_prune_freq"] == 0
+                        and iter_idx > 0):
+                    self.rng, k_prune = random.split(self.rng)
+                    new_shape, flops_pct = self.prune_in_training(k_prune)
+                    logger.write(
+                        "\n\n-------After pruning------\n"
+                        f"Shape: {list(new_shape)}\n"
+                        f"FLOPs %: {round(flops_pct, 2)}\n\n")
+        finally:
+            loader.close()
+        return logger
