@@ -28,8 +28,11 @@ REFERENCE_ITERS_PER_SEC = 450000 / (131 * 3600)  # 2x V100, README.md:110-115
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--iters", type=int, default=30)
-    parser.add_argument("--warmup", type=int, default=5)
+    # warmup must cover one full regularizer cadence (d_reg every 16) TWICE:
+    # the reg steps recompile when they first consume step-produced buffer
+    # layouts rather than freshly-initialized params.
+    parser.add_argument("--iters", type=int, default=48)
+    parser.add_argument("--warmup", type=int, default=33)
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--dtype", type=str, default="bfloat16")
@@ -37,6 +40,10 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from content_aware_gan_compression_tpu.models import (
@@ -103,13 +110,18 @@ def main():
     state = (g_params, d_params, g_opt_state, d_opt_state, g_ema, mpl, rng)
     for i in range(args.warmup):
         *state, m = one_iter(i, *state)
-    jax.block_until_ready(m["g"])
+        float(m["g"])  # fetch-block: the relay's block_until_ready is lax
 
+    per_iter = []
     t0 = time.perf_counter()
     for i in range(args.iters):
+        t1 = time.perf_counter()
         *state, m = one_iter(i + args.warmup, *state)
-    jax.block_until_ready(m["g"])
+        float(m["g"])  # one scalar fetch per iter; device stream is ordered
+        per_iter.append(time.perf_counter() - t1)
     dt = time.perf_counter() - t0
+    print("per-iter ms:", [round(t * 1000) for t in per_iter],
+          file=sys.stderr)
 
     iters_per_sec = args.iters / dt
     print(json.dumps({

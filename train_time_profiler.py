@@ -70,10 +70,16 @@ def main():
         jax.random.PRNGKey(7), (args.batch_size, 3, args.size, args.size)))
     mpl = jnp.asarray(0.0)
 
+    def _first_leaf(tree):
+        return jax.tree_util.tree_leaves(tree)[0]
+
     def timed(name, fn, *a, **kw):
+        """Times one call with a fence on a SINGLE output leaf: the device
+        stream executes in order, and blocking on whole param pytrees would
+        pay one host round-trip per leaf (hundreds per step)."""
         t0 = time.perf_counter()
         out = fn(*a, **kw)
-        jax.block_until_ready(out)
+        jax.block_until_ready(_first_leaf(out))
         return out, time.perf_counter() - t0
 
     # warmup / compile
