@@ -91,6 +91,11 @@ class GeneratorConfig:
                 default_net_shape(self.size, self.channel_multiplier))
         else:
             object.__setattr__(self, "net_shape", tuple(int(c) for c in self.net_shape))
+        want = 2 * (self.log_size - 2) + 2
+        if len(self.net_shape) != want:
+            raise ValueError(
+                f"net_shape has {len(self.net_shape)} entries but size="
+                f"{self.size} needs n_convs+1 = {want}")
 
     @property
     def log_size(self) -> int:
@@ -282,8 +287,17 @@ def _styled_conv(p, x, style_w, noise, *, up=False, blur_kernel=(1, 3, 3, 1),
         p["conv"], x, style_w, demodulate=True, up=up, blur_kernel=blur_kernel,
         precision=precision, return_style_scalars=return_style_scalars)
     out, s = r if return_style_scalars else (r, None)
-    out = out + p["noise"]["weight"][0].astype(out.dtype) * noise.astype(out.dtype)
-    out = fused_leaky_relu(out, p["activate"]["bias"].astype(out.dtype))
+    from ..ops.pallas import use_pallas
+
+    if use_pallas() and out.dtype == jnp.float32:
+        from ..ops.pallas import fused_noise_bias_lrelu
+
+        out = fused_noise_bias_lrelu(
+            out, noise.astype(out.dtype), p["activate"]["bias"].astype(out.dtype),
+            p["noise"]["weight"][0].astype(out.dtype))
+    else:
+        out = out + p["noise"]["weight"][0].astype(out.dtype) * noise.astype(out.dtype)
+        out = fused_leaky_relu(out, p["activate"]["bias"].astype(out.dtype))
     if return_style_scalars:
         return out, s
     return out

@@ -81,18 +81,6 @@ def _blur4_padded(x_padded, taps, interpret=False):
     )(x_padded)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def blur4_pallas(x, kernel4, pad, gain=1.0, interpret=False):
-    """upfirdn2d(x, kernel4*gain, up=1, down=1, pad=pad) for a 4x4 kernel.
-
-    x: [B, H, W, C] NHWC; kernel4: 4x4 normalized FIR; pad: (p0, p1) >= 0.
-    The VJP is the same FIR with the flipped kernel and the adjoint pads
-    (g_pad = k - 1 - p, mirroring reference op/upfirdn2d.py:111-116), so
-    gradients of any order stay inside the Pallas fast path.
-    """
-    return _blur4_forward(x, kernel4, pad, gain, interpret)
-
-
 def _taps_tuple(kernel4, gain, flip):
     k = np.asarray(kernel4, np.float64) * gain
     if flip:
@@ -100,28 +88,40 @@ def _taps_tuple(kernel4, gain, flip):
     return tuple(tuple(float(v) for v in row) for row in k)
 
 
-def _blur4_forward(x, kernel4, pad, gain, interpret):
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _blur4_core(x, taps, pad, interpret):
+    """taps: static 4x4 tuple-of-tuples of the UNflipped kernel values."""
     p0, p1 = pad
     xp = jnp.pad(x, ((0, 0), (p0, p1), (p0, p1), (0, 0)))
     # correlation with flipped kernel == convolution with kernel
-    taps = _taps_tuple(kernel4, gain, flip=True)
-    return _blur4_padded(xp, taps, interpret=interpret)
+    flipped = tuple(tuple(reversed(r)) for r in reversed(taps))
+    return _blur4_padded(xp, flipped, interpret=interpret)
 
 
-def _blur4_fwd(x, kernel4, pad, gain, interpret):
-    return _blur4_forward(x, kernel4, pad, gain, interpret), (kernel4,)
+def _blur4_fwd(x, taps, pad, interpret):
+    return _blur4_core(x, taps, pad, interpret), None
 
 
-def _blur4_bwd(pad, gain, interpret, res, g):
-    (kernel4,) = res
+def _blur4_bwd(taps, pad, interpret, _res, g):
     p0, p1 = pad
-    # adjoint of pad+correlate: correlate g with the UNflipped kernel, padded
-    # with (k-1-p0, k-1-p1)
+    # adjoint of pad+correlate(flipped): correlate g with the UNflipped
+    # kernel, padded with (k-1-p0, k-1-p1) — mirrors the reference's g_pad
+    # arithmetic (op/upfirdn2d.py:111-116)
     gp0, gp1 = KH - 1 - p0, KW - 1 - p1
     gp = jnp.pad(g, ((0, 0), (gp0, gp1), (gp0, gp1), (0, 0)))
-    taps = _taps_tuple(kernel4, gain, flip=False)
     dx = _blur4_padded(gp, taps, interpret=interpret)
-    return dx, None
+    return (dx,)
 
 
-blur4_pallas.defvjp(_blur4_fwd, _blur4_bwd)
+_blur4_core.defvjp(_blur4_fwd, _blur4_bwd)
+
+
+def blur4_pallas(x, kernel4, pad, gain=1.0, interpret=False):
+    """upfirdn2d(x, kernel4*gain, up=1, down=1, pad=pad) for a 4x4 kernel.
+
+    x: [B, H, W, C] NHWC; kernel4: 4x4 normalized FIR taps (numpy/list —
+    static, baked into the kernel); pad: (p0, p1) >= 0. Gradients of any
+    order stay inside the Pallas fast path via the custom VJP.
+    """
+    taps = _taps_tuple(kernel4, gain, flip=False)
+    return _blur4_core(x, taps, tuple(pad), bool(interpret))

@@ -155,7 +155,19 @@ def downsample_2d(x, kernel, factor: int = 2, data_format: str = "NHWC"):
 def blur(x, kernel, pad: tuple[int, int], upsample_factor: int = 1,
          data_format: str = "NHWC"):
     """FIR blur with explicit pads (reference model.py:80-96). When placed
-    after a transposed conv, the kernel is pre-scaled by upsample_factor^2."""
-    if upsample_factor > 1:
-        kernel = kernel * (upsample_factor ** 2)
+    after a transposed conv, the kernel is pre-scaled by upsample_factor^2.
+
+    With CAGC_USE_PALLAS=1 the 4x4 NHWC case routes through the Pallas
+    fast-path kernel (fp32 FIR accumulation)."""
+    gain = float(upsample_factor ** 2) if upsample_factor > 1 else 1.0
+    if (data_format == "NHWC" and kernel.shape == (4, 4)
+            and min(pad) >= 0 and not isinstance(kernel, jax.core.Tracer)):
+        from .pallas import use_pallas
+
+        if use_pallas():
+            from .pallas import blur4_pallas
+
+            return blur4_pallas(x, np.asarray(kernel), tuple(pad), gain)
+    if gain != 1.0:
+        kernel = kernel * gain
     return upfirdn2d(x, kernel, up=1, down=1, pad=pad, data_format=data_format)

@@ -28,7 +28,9 @@ def ref_bisenet():
     modelzoo.load_url = lambda url: {}
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
+        tv.utils = types.ModuleType("torchvision.utils")
         sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tv.utils
     pkg = types.ModuleType("face_parsing")
     pkg.__path__ = ["/root/reference/Util/face_parsing"]
     sys.modules["face_parsing"] = pkg

@@ -39,10 +39,12 @@ def gen_params():
 def load_reference_mask_util():
     """Import reference Util.mask_util with torchvision/model shims."""
     load_reference_model()  # installs 'op' shim, returns ref model module
-    if "torchvision" not in sys.modules:
+    tv = sys.modules.get("torchvision")
+    if tv is None:
         tv = types.ModuleType("torchvision")
-        tv.utils = types.ModuleType("torchvision.utils")
         sys.modules["torchvision"] = tv
+    if not hasattr(tv, "utils"):
+        tv.utils = types.ModuleType("torchvision.utils")
         sys.modules["torchvision.utils"] = tv.utils
     sys.modules.setdefault("model", load_reference_model())
     util_pkg = types.ModuleType("Util")
