@@ -99,8 +99,9 @@ class Trainer:
                 size=cfg.generated_img_size, style_dim=cfg.latent,
                 n_mlp=cfg.n_mlp, channel_multiplier=cfg.channel_multiplier)
             self.g_params = generator_init(k_g, self.g_config)
+            # true copy — g_params buffers are donated by the jitted steps
             self.g_ema_params = jax.tree_util.tree_map(
-                lambda x: x, self.g_params)
+                jnp.copy, self.g_params)
             self.d_params = discriminator_init(k_d, d_config)
             self._ckpt_trees = {}
 
@@ -140,16 +141,24 @@ class Trainer:
                     self.start_iter = int(cfg.ckpt[-9:-3]) + 1
                 except ValueError:
                     self.start_iter = 0
+        # release checkpoint refs so the steps can donate param buffers
+        self._ckpt_trees = {}
 
         # --- jitted steps -----------------------------------------------------
+        # Buffer donation: params/optimizer-state inputs are consumed by each
+        # step, so the updated pytrees reuse the same HBM.
         d_step, d_reg_step, g_step, g_reg_step = make_train_steps(
             self.g_config, d_config, cfg, teacher_config=self.teacher_config,
             dtype=self.dtype)
-        self._d_step = jax.jit(partial(d_step, d_opt=self.d_opt))
-        self._d_reg_step = jax.jit(partial(d_reg_step, d_opt=self.d_opt))
-        self._g_step = jax.jit(partial(g_step, g_opt=self.g_opt))
-        self._g_reg_step = jax.jit(partial(g_reg_step, g_opt=self.g_opt))
-        self._ema = jax.jit(ema_accumulate)
+        self._d_step = jax.jit(partial(d_step, d_opt=self.d_opt),
+                               donate_argnums=(1, 2))
+        self._d_reg_step = jax.jit(partial(d_reg_step, d_opt=self.d_opt),
+                                   donate_argnums=(0, 1))
+        self._g_step = jax.jit(partial(g_step, g_opt=self.g_opt),
+                               donate_argnums=(0, 1))
+        self._g_reg_step = jax.jit(partial(g_reg_step, g_opt=self.g_opt),
+                                   donate_argnums=(0, 1))
+        self._ema = jax.jit(ema_accumulate, donate_argnums=(0,))
 
         # replicate state over the mesh
         self.g_params = replicate(self.mesh, self.g_params)
