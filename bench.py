@@ -37,6 +37,10 @@ def main():
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--remove_ratio", type=float, default=0.7)
+    parser.add_argument("--metric", type=str, default="retrain",
+                        choices=["retrain", "generate"],
+                        help="retrain iters/s (default) or generation "
+                             "images/s/chip for the pruned student")
     args = parser.parse_args()
 
     import jax
@@ -65,6 +69,28 @@ def main():
     g_config = GeneratorConfig(size=args.size, net_shape=student_shape)
     t_config = GeneratorConfig(size=args.size)
     d_config = DiscriminatorConfig(size=args.size)
+
+    if args.metric == "generate":
+        # images/s/chip on the pruned student (BASELINE.md tracked metric);
+        # reference full-size @256px is ~45.1 GFLOPs/img, pruned ~11x less.
+        import time as _t
+
+        from content_aware_gan_compression_tpu.models import generator_apply
+
+        rd = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
+        p = generator_init(jax.random.PRNGKey(0), g_config)
+        f = jax.jit(lambda p, z, k: generator_apply(
+            p, g_config, [z], rng=k, dtype=dtype))
+        z = jax.random.normal(jax.random.PRNGKey(1), (args.batch_size, 512))
+        float(rd(f(p, z, jax.random.PRNGKey(2))))
+        t0 = _t.perf_counter()
+        outs = [f(p, z, jax.random.PRNGKey(i)) for i in range(args.iters)]
+        float(rd(outs[-1]))
+        ips = args.batch_size * args.iters / (_t.perf_counter() - t0)
+        print(json.dumps({
+            "metric": f"generate_{args.size}px_images_per_sec_per_chip",
+            "value": round(ips, 1), "unit": "img/s", "vs_baseline": None}))
+        return
 
     mesh = make_mesh()
     rng = jax.random.PRNGKey(0)
