@@ -37,6 +37,13 @@ class FFHQDataset:
     def __len__(self):
         return len(self.images_list)
 
+    def decode(self, index: int) -> np.ndarray:
+        """Decode one image to uint8 HWC (no transform)."""
+        from PIL import Image
+
+        img = Image.open(self.images_list[index]).convert("RGB")
+        return np.asarray(img, np.uint8)
+
     def load(self, index: int, rng: np.random.Generator) -> np.ndarray:
         """Decode one image -> float32 NCHW in [-1, 1] with the reference's
         train transform (flip -> resize -> normalize)."""
@@ -58,6 +65,28 @@ def data_loader(dataset: FFHQDataset, batch_size: int, *, seed: int = 0,
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
+    from . import native_loader
+
+    def _make_batch(pool, rng, idxs):
+        """Decode with PIL threads; transform (flip+resize+normalize+CHW)
+        through the native C++ library when available, else per-image."""
+        use_native = native_loader.get_lib() is not None
+        if use_native:
+            futs = [pool.submit(dataset.decode, int(i)) for i in idxs]
+            raws = [f.result() for f in futs]
+            if len({r.shape for r in raws}) == 1:
+                flips = (rng.random(len(raws)) < 0.5) if dataset.random_flip \
+                    else np.zeros(len(raws))
+                out = native_loader.transform_batch(
+                    np.stack(raws), dataset.size,
+                    flips.astype(np.uint8), num_threads=num_workers)
+                if out is not None:
+                    return out
+        seeds = rng.integers(0, 2 ** 31, size=len(idxs))
+        futs = [pool.submit(dataset.load, int(i), np.random.default_rng(int(s)))
+                for i, s in zip(idxs, seeds)]
+        return np.stack([f.result() for f in futs])
+
     def producer():
         rng = np.random.default_rng(seed)
         pool = ThreadPoolExecutor(max_workers=num_workers)
@@ -69,13 +98,7 @@ def data_loader(dataset: FFHQDataset, batch_size: int, *, seed: int = 0,
                     idxs = order[b * batch_size:(b + 1) * batch_size]
                     if len(idxs) == 0:
                         continue
-                    seeds = rng.integers(0, 2 ** 31, size=len(idxs))
-                    futs = [
-                        pool.submit(dataset.load, int(i),
-                                    np.random.default_rng(int(s)))
-                        for i, s in zip(idxs, seeds)
-                    ]
-                    batch = np.stack([f.result() for f in futs])
+                    batch = _make_batch(pool, rng, idxs)
                     while not stop.is_set():
                         try:
                             q.put(batch, timeout=1.0)
