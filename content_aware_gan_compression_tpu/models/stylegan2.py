@@ -418,9 +418,13 @@ def _noise_buffers_nhwc(params, config):
 
 
 def _synthesis(params, config, latent, noise, *, precision=None, dtype=None,
-               return_style_scalars=False):
+               return_style_scalars=False, remat=False):
     """Core synthesis network: W+ latent [B, n_latent, D] + per-layer noise
-    -> NHWC image + per-scale rgb skips (reference model.py:612-646)."""
+    -> NHWC image + per-scale rgb skips (reference model.py:612-646).
+
+    remat=True wraps each (up-conv, conv, to_rgb) resolution block in
+    jax.checkpoint — trades ~1/3 extra FLOPs for activation memory, which is
+    what makes 1024px training fit comfortably (SURVEY section 7 stage 8)."""
     bk = config.blur_kernel
     batch = latent.shape[0]
 
@@ -450,30 +454,39 @@ def _synthesis(params, config, latent, noise, *, precision=None, dtype=None,
         c1 = params["convs"][str(2 * pair)]
         c2 = params["convs"][str(2 * pair + 1)]
         trgb = params["to_rgbs"][str(pair)]
-        r = _styled_conv(c1, x, latent[:, i], noise[2 * pair + 1], up=True,
-                         blur_kernel=bk, precision=precision,
-                         return_style_scalars=return_style_scalars)
-        if return_style_scalars:
-            x, s = r
-            styles_list.append(s)
-        else:
-            x = r
-        r = _styled_conv(c2, x, latent[:, i + 1], noise[2 * pair + 2],
-                         blur_kernel=bk, precision=precision,
-                         return_style_scalars=return_style_scalars)
-        if return_style_scalars:
-            x, s = r
-            styles_list.append(s)
-        else:
-            x = r
-        if return_style_scalars and (i + 3) == latent.shape[1]:
-            # last ToRGB's scalars are collected too (reference model.py:637-639)
-            skip, s = _to_rgb(trgb, x, latent[:, i + 2], skip, blur_kernel=bk,
-                              precision=precision, return_style_scalars=True)
-            styles_list.append(s)
-        else:
-            skip = _to_rgb(trgb, x, latent[:, i + 2], skip, blur_kernel=bk,
-                           precision=precision)
+        last_rgb_scalars = return_style_scalars and (i + 3) == latent.shape[1]
+
+        def block(x, skip, c1, c2, trgb, lat_i, lat_i1, lat_i2, n1, n2):
+            s_list = []
+            r = _styled_conv(c1, x, lat_i, n1, up=True, blur_kernel=bk,
+                             precision=precision,
+                             return_style_scalars=return_style_scalars)
+            x, s = r if return_style_scalars else (r, None)
+            if s is not None:
+                s_list.append(s)
+            r = _styled_conv(c2, x, lat_i1, n2, blur_kernel=bk,
+                             precision=precision,
+                             return_style_scalars=return_style_scalars)
+            x, s = r if return_style_scalars else (r, None)
+            if s is not None:
+                s_list.append(s)
+            if last_rgb_scalars:
+                # last ToRGB's scalars are collected too (model.py:637-639)
+                skip, s = _to_rgb(trgb, x, lat_i2, skip, blur_kernel=bk,
+                                  precision=precision,
+                                  return_style_scalars=True)
+                s_list.append(s)
+            else:
+                skip = _to_rgb(trgb, x, lat_i2, skip, blur_kernel=bk,
+                               precision=precision)
+            return x, skip, s_list
+
+        if remat:
+            block = jax.checkpoint(block, static_argnums=())
+        x, skip, s_list = block(
+            x, skip, c1, c2, trgb, latent[:, i], latent[:, i + 1],
+            latent[:, i + 2], noise[2 * pair + 1], noise[2 * pair + 2])
+        styles_list.extend(s_list)
         rgb_list.append(skip)
         i += 2
 
@@ -500,6 +513,7 @@ def generator_apply(
     ppl_rng=None,
     precision=None,
     dtype=None,
+    remat: bool = False,
 ):
     """Generator forward (reference Generator.forward, model.py:545-666).
 
@@ -566,7 +580,8 @@ def generator_apply(
 
         def synth(lat):
             img, _, _ = _synthesis(params, cfg, lat, noise,
-                                   precision=precision, dtype=dtype)
+                                   precision=precision, dtype=dtype,
+                                   remat=remat)
             return img
 
         image, vjp_fn = jax.vjp(synth, latent)
@@ -579,7 +594,7 @@ def generator_apply(
 
     image, rgb_list, styles_list = _synthesis(
         params, cfg, latent, noise, precision=precision, dtype=dtype,
-        return_style_scalars=return_style_scalars)
+        return_style_scalars=return_style_scalars, remat=remat)
 
     if return_rgb_list:
         returns = [jnp.transpose(r, (0, 3, 1, 2)) for r in rgb_list]

@@ -29,6 +29,21 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Multi-host (DCN) bring-up: call once per host before building the
+    mesh; jax.distributed wires the hosts and jax.devices() then spans the
+    slice. The single-program SPMD steps need no other change — the same
+    batch sharding stretches over all hosts' devices (the TPU-native
+    replacement for the reference's never-activated torch.distributed
+    helpers, Miscellaneous/distributed.py)."""
+    import jax.distributed
+
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -49,6 +49,7 @@ class TrainConfig:
     seed: int = 0
     compute_dtype: str = "float32"    # 'bfloat16' for the fast path
     n_devices: int | None = None      # None -> all local devices
+    remat: bool = False               # checkpoint synthesis blocks (1024px)
 
     @property
     def g_reg_ratio(self) -> float:

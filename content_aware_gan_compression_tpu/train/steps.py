@@ -141,7 +141,7 @@ def make_train_steps(
         def loss_fn(gp):
             fake_list = generator_apply(
                 gp, g_config, zs, inject_index=inject_index, rng=k_noise,
-                return_rgb_list=True, dtype=dtype)
+                return_rgb_list=True, dtype=dtype, remat=cfg.remat)
             fake_img = fake_list[-1]
             fake_pred = discriminator_apply(d_params, d_config, fake_img,
                                             dtype=dtype)
@@ -181,7 +181,8 @@ def make_train_steps(
         def loss_fn(gp):
             _, path_lengths = generator_apply(
                 gp, g_config, [z[0], z[1]], inject_index=inject_index,
-                rng=k_noise, PPL_regularize=True, ppl_rng=k_ppl, dtype=dtype)
+                rng=k_noise, PPL_regularize=True, ppl_rng=k_ppl, dtype=dtype,
+                remat=cfg.remat)
             path_mean = mean_path_length + 0.01 * (
                 path_lengths.mean() - mean_path_length)
             path_loss = jnp.mean(jnp.square(path_lengths - path_mean))
