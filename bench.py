@@ -37,6 +37,10 @@ def main():
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--remove_ratio", type=float, default=0.7)
+    parser.add_argument("--remat", action="store_true", default=False,
+                        help="checkpoint synthesis blocks (1024px memory)")
+    parser.add_argument("--fused", action="store_true", default=False,
+                        help="use the single-jit fused D+G step")
     parser.add_argument("--metric", type=str, default="retrain",
                         choices=["retrain", "generate"],
                         help="retrain iters/s (default) or generation "
@@ -60,7 +64,7 @@ def main():
 
     cfg = TrainConfig(generated_img_size=args.size,
                       batch_size=args.batch_size,
-                      compute_dtype=args.dtype)
+                      compute_dtype=args.dtype, remat=args.remat)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
     # 11x-compressed student: keep ceil(width * (1 - ratio)) per layer
@@ -104,7 +108,7 @@ def main():
     g_opt_state = g_opt.init(g_params)
     d_opt_state = d_opt.init(d_params)
 
-    d_step, d_reg_step, g_step, g_reg_step = make_train_steps(
+    d_step, d_reg_step, g_step, g_reg_step, dg_step = make_train_steps(
         g_config, d_config, cfg, teacher_config=t_config, dtype=dtype)
     d_step = jax.jit(partial(d_step, d_opt=d_opt), donate_argnums=(1, 2))
     d_reg_step = jax.jit(partial(d_reg_step, d_opt=d_opt),
@@ -112,6 +116,8 @@ def main():
     g_step = jax.jit(partial(g_step, g_opt=g_opt), donate_argnums=(0, 1))
     g_reg_step = jax.jit(partial(g_reg_step, g_opt=g_opt),
                          donate_argnums=(0, 1))
+    dg_step = jax.jit(partial(dg_step, d_opt=d_opt, g_opt=g_opt),
+                      donate_argnums=(0, 1, 2, 3))
     ema = jax.jit(ema_accumulate, donate_argnums=(0,))
 
     real = shard_batch(mesh, jax.random.normal(
@@ -120,13 +126,23 @@ def main():
 
     def one_iter(i, g_params, d_params, g_opt_state, d_opt_state, g_ema, mpl,
                  rng):
-        rng, k_d, k_g, k_r = jax.random.split(rng, 4)
-        d_params, d_opt_state, _ = d_step(g_params, d_params, d_opt_state,
-                                          real, k_d)
-        if i % cfg.d_reg_freq == 0:
-            d_params, d_opt_state, _ = d_reg_step(d_params, d_opt_state, real)
-        g_params, g_opt_state, m = g_step(g_params, g_opt_state, d_params,
-                                          k_g, t_params, None, None)
+        rng, k_dg, k_r = jax.random.split(rng, 3)
+        if args.fused:
+            g_params, g_opt_state, d_params, d_opt_state, m = dg_step(
+                g_params, g_opt_state, d_params, d_opt_state, real, k_dg,
+                t_params, None, None)
+            if i % cfg.d_reg_freq == 0:
+                d_params, d_opt_state, _ = d_reg_step(d_params, d_opt_state,
+                                                      real)
+        else:
+            k_d, k_g = jax.random.split(k_dg)
+            d_params, d_opt_state, _ = d_step(g_params, d_params, d_opt_state,
+                                              real, k_d)
+            if i % cfg.d_reg_freq == 0:
+                d_params, d_opt_state, _ = d_reg_step(d_params, d_opt_state,
+                                                      real)
+            g_params, g_opt_state, m = g_step(g_params, g_opt_state, d_params,
+                                              k_g, t_params, None, None)
         if i % cfg.g_reg_freq == 0:
             g_params, g_opt_state, mpl, _ = g_reg_step(g_params, g_opt_state,
                                                        k_r, mpl)

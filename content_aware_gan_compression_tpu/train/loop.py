@@ -147,7 +147,7 @@ class Trainer:
         # --- jitted steps -----------------------------------------------------
         # Buffer donation: params/optimizer-state inputs are consumed by each
         # step, so the updated pytrees reuse the same HBM.
-        d_step, d_reg_step, g_step, g_reg_step = make_train_steps(
+        d_step, d_reg_step, g_step, g_reg_step, _dg = make_train_steps(
             self.g_config, d_config, cfg, teacher_config=self.teacher_config,
             dtype=self.dtype)
         self._d_step = jax.jit(partial(d_step, d_opt=self.d_opt),

@@ -197,7 +197,7 @@ class SparsityTrainer(Trainer):
         self.g_opt, self.d_opt = make_optimizers(self.cfg)
         self.g_opt_state = self.g_opt.init(self.g_params)
         self.d_opt_state = self.d_opt.init(self.d_params)
-        d_step, d_reg_step, _, g_reg_step = make_train_steps(
+        d_step, d_reg_step, _, g_reg_step, _dg = make_train_steps(
             self.g_config, self.d_config, self.cfg,
             teacher_config=self.teacher_config, dtype=self.dtype)
         self._d_step = jax.jit(partial(d_step, d_opt=self.d_opt))

@@ -198,4 +198,20 @@ def make_train_steps(
         metrics = {"path": path_loss, "path_length": path_len}
         return g_params, g_opt_state, new_mpl, metrics
 
-    return d_step, d_reg_step, g_step, g_reg_step
+    # ---------------- fused D+G step ----------------------------------------
+    def dg_step(g_params, g_opt_state, d_params, d_opt_state, real_img, rng,
+                teacher_params, lpips_params, parse_params, d_opt, g_opt):
+        """One jit for the every-iteration work (D GAN update then G GAN+KD
+        update against the UPDATED discriminator, preserving the reference's
+        sequential semantics, train.py:379-388) + EMA — fewer dispatches and
+        more room for XLA to overlap the two phases' memory traffic."""
+        k_d, k_g = random.split(rng)
+        d_params, d_opt_state, m1 = d_step(g_params, d_params, d_opt_state,
+                                           real_img, k_d, d_opt)
+        g_params, g_opt_state, m2 = g_step(g_params, g_opt_state, d_params,
+                                           k_g, teacher_params, lpips_params,
+                                           parse_params, g_opt)
+        m1.update(m2)
+        return g_params, g_opt_state, d_params, d_opt_state, m1
+
+    return d_step, d_reg_step, g_step, g_reg_step, dg_step

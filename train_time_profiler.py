@@ -58,7 +58,7 @@ def main():
     g_opt, d_opt = make_optimizers(cfg)
     g_opt_state = g_opt.init(g_params)
     d_opt_state = d_opt.init(d_params)
-    d_step, d_reg_step, g_step, g_reg_step = make_train_steps(
+    d_step, d_reg_step, g_step, g_reg_step, _dg = make_train_steps(
         g_config, d_config, cfg, teacher_config=t_config, dtype=dtype)
     d_step = jax.jit(partial(d_step, d_opt=d_opt))
     d_reg_step = jax.jit(partial(d_reg_step, d_opt=d_opt))
