@@ -37,10 +37,14 @@ def _feature_step(g_params, inc_params, config, z, rng, truncation,
 
 def extract_feature_from_samples(
     g_params, config, inc_params, *, truncation=1.0, truncation_latent=None,
-    batch_size=64, n_sample=50000, rng=None, info_print=False,
+    batch_size=64, n_sample=50000, rng=None, info_print=False, mesh=None,
 ):
     """Stream pool3 features for n_sample generated images (reference
-    fid.py:19-38). Returns [n_sample-ish, 2048] float64 numpy."""
+    fid.py:19-38). Returns [n_sample-ish, 2048] float64 numpy.
+
+    With `mesh`, each latent batch is sharded over the data axis so the
+    50k-sample stream runs data-parallel across the slice (the reference
+    DataParallels both G and inception, fid.py:98-105)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     n_batch = n_sample // batch_size
     resid = n_sample - (n_batch - 1) * batch_size
@@ -48,12 +52,19 @@ def extract_feature_from_samples(
                            truncation=truncation,
                            truncation_latent=truncation_latent),
                    static_argnames=())
+    shard = None
+    if mesh is not None:
+        from ..parallel import batch_sharding
+
+        shard = batch_sharding(mesh)
 
     feats = []
     for idx in range(n_batch):
         bs = batch_size if idx < n_batch - 1 else resid
         rng, kz, kn = jax.random.split(rng, 3)
         z = jax.random.normal(kz, (bs, config.style_dim))
+        if shard is not None:
+            z = jax.device_put(z, shard)
         if info_print and idx % 50 == 0:
             print(f"FID features: batch {idx + 1}/{n_batch}")
         feats.append(np.asarray(step(g_params, inc_params, z=z, rng=kn)))

@@ -123,12 +123,18 @@ def make_train_steps(
         k_mix, k_noise, k_tnoise = random.split(real_rng, 3)
         zs, inject_index = _mixing_latents(k_mix, batch, cfg, n_latent)
 
+        # Output_Only KD uses only the final images; skip materializing the
+        # per-scale rgb lists (they pin one skip tensor per resolution for
+        # the whole step — significant at 1024px).
+        need_lists = cfg.kd_mode == "Intermediate"
+
         teacher_list = None
         if teacher_params is not None:
-            teacher_list = generator_apply(
+            t_out = generator_apply(
                 teacher_params, teacher_config, zs,
                 inject_index=inject_index, rng=k_tnoise,
-                return_rgb_list=True, dtype=dtype)
+                return_rgb_list=need_lists, dtype=dtype)
+            teacher_list = list(t_out) if need_lists else [t_out]
             teacher_list = [jax.lax.stop_gradient(t) for t in teacher_list]
 
         parse_fn = None
@@ -139,9 +145,10 @@ def make_train_steps(
                 return bisenet_apply(parse_params, x)[0]
 
         def loss_fn(gp):
-            fake_list = generator_apply(
+            g_out = generator_apply(
                 gp, g_config, zs, inject_index=inject_index, rng=k_noise,
-                return_rgb_list=True, dtype=dtype, remat=cfg.remat)
+                return_rgb_list=need_lists, dtype=dtype, remat=cfg.remat)
+            fake_list = list(g_out) if need_lists else [g_out]
             fake_img = fake_list[-1]
             fake_pred = discriminator_apply(d_params, d_config, fake_img,
                                             dtype=dtype)
