@@ -44,6 +44,19 @@ class FFHQDataset:
         img = Image.open(self.images_list[index]).convert("RGB")
         return np.asarray(img, np.uint8)
 
+    def load_uint8(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        """Decode + flip + resize, kept as uint8 HWC — for the small-wire
+        path where normalization/layout happen on device (a 4x smaller
+        host->device transfer than float32 CHW)."""
+        from PIL import Image
+
+        img = Image.open(self.images_list[index]).convert("RGB")
+        if self.random_flip and rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if img.size != (self.size, self.size):
+            img = img.resize((self.size, self.size), Image.BILINEAR)
+        return np.asarray(img, np.uint8)
+
     def load(self, index: int, rng: np.random.Generator) -> np.ndarray:
         """Decode one image -> float32 NCHW in [-1, 1] with the reference's
         train transform (flip -> resize -> normalize)."""
@@ -59,9 +72,12 @@ class FFHQDataset:
 
 
 def data_loader(dataset: FFHQDataset, batch_size: int, *, seed: int = 0,
-                num_workers: int = 8, prefetch: int = 4, drop_last=True):
-    """Generator of [B, 3, H, W] numpy batches, shuffled each epoch, decoded
-    by a thread pool and buffered `prefetch` batches ahead."""
+                num_workers: int = 8, prefetch: int = 4, drop_last=True,
+                uint8_hwc: bool = False):
+    """Generator of [B, 3, H, W] float32 batches (default), shuffled each
+    epoch, decoded by a thread pool and buffered `prefetch` batches ahead.
+    With uint8_hwc=True, yields [B, H, W, 3] uint8 instead — normalization
+    and layout happen on device (4x less host->device traffic)."""
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
@@ -70,6 +86,12 @@ def data_loader(dataset: FFHQDataset, batch_size: int, *, seed: int = 0,
     def _make_batch(pool, rng, idxs):
         """Decode with PIL threads; transform (flip+resize+normalize+CHW)
         through the native C++ library when available, else per-image."""
+        if uint8_hwc:
+            seeds = rng.integers(0, 2 ** 31, size=len(idxs))
+            futs = [pool.submit(dataset.load_uint8, int(i),
+                                np.random.default_rng(int(s)))
+                    for i, s in zip(idxs, seeds)]
+            return np.stack([f.result() for f in futs])
         use_native = native_loader.get_lib() is not None
         if use_native:
             futs = [pool.submit(dataset.decode, int(i)) for i in idxs]

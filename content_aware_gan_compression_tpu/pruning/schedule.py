@@ -114,10 +114,24 @@ def get_network_score_list(params, config, z, metric, *, rng=None,
     return get_style_based_score(params, config, z, metric)
 
 
-def get_uniform_remove_list(net_shape, pruning_ratio):
+def get_uniform_remove_list(net_shape, pruning_ratio, keep_multiple=1):
     """int(width * ratio) channels removed per layer (reference
-    pruning_util.py:233-244)."""
-    return [int(c * pruning_ratio) for c in net_shape]
+    pruning_util.py:233-244).
+
+    keep_multiple > 1 is a TPU-perf extension: the KEPT width is rounded UP
+    to a multiple (e.g. 64) so pruned layers tile the MXU/lanes without
+    padding waste — the extra kept channels are the next-highest-scored ones,
+    so quality can only improve vs the exact ratio."""
+    rmv = [int(c * pruning_ratio) for c in net_shape]
+    if keep_multiple > 1:
+        out = []
+        for c, r in zip(net_shape, rmv):
+            keep = c - r
+            keep = min(c, ((keep + keep_multiple - 1) // keep_multiple)
+                       * keep_multiple)
+            out.append(c - keep)
+        return out
+    return rmv
 
 
 def generate_prune_mask_list(net_score_list, net_shape, rmve_list,

@@ -159,6 +159,11 @@ class Trainer:
         self._g_reg_step = jax.jit(partial(g_reg_step, g_opt=self.g_opt),
                                    donate_argnums=(0, 1))
         self._ema = jax.jit(ema_accumulate, donate_argnums=(0,))
+        # uint8 HWC batches travel host->device 4x smaller; normalize + CHW
+        # on device
+        self._prep = jax.jit(
+            lambda x: jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)
+            / 127.5 - 1.0)
 
         # replicate state over the mesh
         self.g_params = replicate(self.mesh, self.g_params)
@@ -182,6 +187,8 @@ class Trainer:
         self.rng, k_d, k_g, k_greg = random.split(self.rng, 4)
 
         real = shard_batch(self.mesh, jnp.asarray(real_img))
+        if real.dtype == jnp.uint8:  # [B,H,W,3] small-wire path
+            real = self._prep(real)
 
         self.d_params, self.d_opt_state, m = self._d_step(
             self.g_params, self.d_params, self.d_opt_state, real, k_d)
@@ -228,7 +235,7 @@ class Trainer:
         dataset = FFHQDataset(cfg.data_folder, cfg.generated_img_size)
         loader = infinite_loader(dataset, cfg.batch_size,
                                  seed=data_seed if data_seed is not None
-                                 else cfg.seed)
+                                 else cfg.seed, uint8_hwc=True)
 
         self.rng, k_sample = random.split(self.rng)
         sample_z = random.normal(k_sample, (cfg.val_sample_num, cfg.latent))
@@ -244,10 +251,14 @@ class Trainer:
                 real_img = next(loader)
                 metrics, mean_path_length = self.step(
                     iter_idx, real_img, mean_path_length)
-                jax.block_until_ready(metrics.get("g", metrics.get("d")))
+                # one packed device->host transfer for all scalars (per-leaf
+                # fetches each pay a full host round-trip)
+                keys = sorted(metrics)
+                vals = np.asarray(jnp.stack(
+                    [metrics[k] for k in keys] + [mean_path_length]))
                 last_metrics.update(
-                    {k: float(v) for k, v in metrics.items()})
-                last_metrics["mean_path_avg"] = float(mean_path_length)
+                    {k: float(v) for k, v in zip(keys, vals)})
+                last_metrics["mean_path_avg"] = float(vals[-1])
                 logger.log_iteration(iter_idx, time.time() - t0, last_metrics)
 
                 if iter_idx % cfg.val_sample_freq == 0:

@@ -184,10 +184,15 @@ class SparsityTrainer(Trainer):
             self.g_ema_params, self.g_config, z, opts["prune_metric"],
             rng=rng)
         net_shape = list(self.g_config.net_shape)
+        # the reference hardcodes the 256px full shape as the Layer_Uniform
+        # base (GENERATOR_SHAPE_256PX); for other sizes use the model's own
+        # widths, otherwise the remove counts exceed every layer and no-op
+        base = None if self.cfg.generated_img_size == 256 else net_shape
         masks = get_network_prune_mask(
             score, net_shape, pruning_mode=opts["pruning_mode"],
             lay_rmve_ratio=opts["lay_rmve_ratio"],
-            num_rmve_channel=opts["num_rmve_channel"])
+            num_rmve_channel=opts["num_rmve_channel"],
+            full_shape_256=base)
         self.g_ema_params = mask_the_generator(self.g_ema_params, masks)
         self.g_params = mask_the_generator(self.g_params, masks)
         new_shape = net_shape_from_params(self.g_ema_params)

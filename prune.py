@@ -34,6 +34,10 @@ def main():
                         help="BiSeNet weights; if missing, the whole image "
                              "is treated as content (with a warning)")
     parser.add_argument("--out_dir", type=str, default="./Model/pruned_model")
+    parser.add_argument("--keep_multiple", type=int, default=1,
+                        help="round kept channel counts UP to this multiple "
+                             "(TPU lane-friendly pruning; 1 = exact "
+                             "reference ratio)")
     parser.add_argument("--metric", type=str, default="content-aware",
                         help="content-aware (paper) or any of the baseline "
                              "metrics: Random/ASV/l1-map/l1-norm-ASV/"
@@ -96,7 +100,8 @@ def main():
 
     # --- prune ----------------------------------------------------------------
     net_shape = list(config.net_shape)
-    rmve_list = get_uniform_remove_list(net_shape, args.remove_ratio)
+    rmve_list = get_uniform_remove_list(net_shape, args.remove_ratio,
+                                        keep_multiple=args.keep_multiple)
     masks = generate_prune_mask_list(score, net_shape, rmve_list,
                                      info_print=args.info_print)
     pruned = mask_the_generator(params, masks)

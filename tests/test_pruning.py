@@ -243,3 +243,11 @@ def test_content_aware_scores_match_torch_oracle(gen_params):
                        jnp.asarray(sp), jnp.asarray(replace))
     for g_j, g_t in zip(got, want):
         np.testing.assert_allclose(np.asarray(g_j), g_t, rtol=1e-3, atol=1e-6)
+
+
+def test_keep_multiple_rounds_kept_width_up():
+    rmv = get_uniform_remove_list((512, 512, 100), 0.7, keep_multiple=64)
+    kept = [c - r for c, r in zip((512, 512, 100), rmv)]
+    assert kept == [192, 192, 64]  # 154 -> 192, 30 -> 64
+    # default path unchanged
+    assert get_uniform_remove_list((512,), 0.7) == [358]
