@@ -14,9 +14,7 @@ and the no-mixing case is inject_index == n_latent (all layers take latent
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -67,8 +65,6 @@ def make_train_steps(
     cfg: TrainConfig,
     *,
     teacher_config: GeneratorConfig | None = None,
-    use_lpips: bool = False,
-    use_parsing: bool = False,
     dtype=None,
 ):
     """Build the four jitted step functions. Static model configs are closed

@@ -25,5 +25,5 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the jitted train steps take ~30-60s each to
 # compile on CPU; caching makes repeated test runs (and multiple Trainer
 # instances) load them from disk instead.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
