@@ -102,7 +102,7 @@ def load_real_stats(path: str) -> dict:
 def get_model_fid_score(
     g_params, config, inc_params, real_stats, *, truncation=1.0,
     truncation_latent=None, batch_size=100, num_sample=50000, rng=None,
-    info_print=False,
+    info_print=False, mesh=None,
 ):
     """One-button FID (reference Get_Model_FID_Score, fid.py:67-121).
     `real_stats`: {'mean','cov'} dict or a pickle path."""
@@ -112,7 +112,7 @@ def get_model_fid_score(
     features = extract_feature_from_samples(
         g_params, config, inc_params, truncation=truncation,
         truncation_latent=truncation_latent, batch_size=batch_size,
-        n_sample=num_sample, rng=rng, info_print=info_print)
+        n_sample=num_sample, rng=rng, info_print=info_print, mesh=mesh)
     if info_print:
         print(f"feature extraction took {time.time() - start:.2f}s, "
               f"shape {features.shape}")

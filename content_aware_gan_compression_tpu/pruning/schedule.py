@@ -36,9 +36,15 @@ def get_map_based_score(params, config, z, rng, metric, batch_size=10):
     """Score channels from layer activations (reference pruning_util.py:9-50).
 
     Processes the latent stack in `batch_size` chunks (high-res activations
-    for 50+ samples would not fit on one chip at 1024px) and accumulates the
-    sufficient statistics (sum, sum of squares, sum of |x|) per channel so
-    the final metric equals the metric of the concatenated activations.
+    for 50+ samples would not fit on one chip at 1024px), concatenating
+    chunk activations per layer so the metric sees the full sample set.
+
+    NB: the reference re-runs the generator once PER LAYER per batch, each
+    with fresh random noise (Get_Layer_Output, network_util.py:54-87), so
+    its layers are scored under different noise draws; here one forward
+    captures every layer (same draw across layers) — statistically
+    equivalent for channel ranking and one generator pass instead of
+    n_layers.
     """
     score_fn = _MAP_METRICS[metric]
     n = z.shape[0]

@@ -280,7 +280,7 @@ class Trainer:
                             self.g_ema_params, self.g_config,
                             self.inception_params, self.real_stats,
                             batch_size=cfg.fid_batch,
-                            num_sample=cfg.fid_n_sample)
+                            num_sample=cfg.fid_n_sample, mesh=self.mesh)
                         logger.log_fid(fid)
                     self.save(logger, iter_idx)
         finally:

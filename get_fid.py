@@ -67,12 +67,16 @@ def main():
     else:
         raise ValueError("need --real_stats or --real_images")
 
+    from content_aware_gan_compression_tpu.parallel import make_mesh
+
+    mesh = make_mesh()  # data-parallel over all local devices
     print(f"Number of samples: {args.n_sample}")
     start_time = time.time()
     fid = get_model_fid_score(
         g_params, config, inc_params, real_stats,
         batch_size=args.batch_size, num_sample=args.n_sample,
-        rng=jax.random.PRNGKey(args.seed), info_print=args.info_print)
+        rng=jax.random.PRNGKey(args.seed), info_print=args.info_print,
+        mesh=mesh)
     print(f"Total time is: {round(time.time() - start_time, 4)}")
     print(f"FID Scores: {fid}\n")
 

@@ -1,0 +1,58 @@
+"""Checkpoint I/O: the pure-python torch zip-pickle reader (the no-torch
+fallback path), native .npz round-trips, and torch export compatibility."""
+
+import numpy as np
+import torch
+import jax
+
+from content_aware_gan_compression_tpu.utils.checkpoint import (
+    _read_torch_zip_pickle, save_checkpoint, load_checkpoint,
+    torch_state_dict_to_pytree, pytree_to_torch_state_dict,
+)
+
+
+def test_pure_python_reader_matches_torch_load(tmp_path):
+    sd = {"a.weight": torch.randn(3, 4),
+          "b.bias": torch.arange(5, dtype=torch.float32),
+          "n.buf": torch.randn(2, 2, 2),
+          "half": torch.randn(4).to(torch.float16)}
+    path = str(tmp_path / "sd.pt")
+    torch.save(sd, path)
+    out = _read_torch_zip_pickle(path)
+    for k, v in sd.items():
+        np.testing.assert_allclose(out[k], v.float().numpy()
+                                   if v.dtype == torch.float16 else v.numpy(),
+                                   rtol=1e-3)
+
+
+def test_pure_python_reader_nested_ckpt(tmp_path):
+    inner = {"w": torch.randn(2, 2)}
+    path = str(tmp_path / "ckpt.pt")
+    torch.save({"g_ema": inner, "iter": 7}, path)
+    out = _read_torch_zip_pickle(path)
+    assert out["iter"] == 7
+    np.testing.assert_allclose(out["g_ema"]["w"], inner["w"].numpy())
+
+
+def test_npz_roundtrip_with_metadata(tmp_path):
+    tree = {"conv": {"weight": jax.numpy.ones((2, 3)),
+                     "bias": jax.numpy.zeros((3,))}}
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, {"g": tree}, metadata={"iter": 5, "size": 256})
+    trees, meta = load_checkpoint(path)
+    assert meta == {"iter": 5, "size": 256}
+    np.testing.assert_allclose(np.asarray(trees["g"]["conv"]["weight"]),
+                               np.ones((2, 3)))
+
+
+def test_statedict_pytree_roundtrip():
+    sd = {"a.b.c": np.ones((2,)), "a.d": np.zeros((3,)), "e": np.full((1,), 7.0)}
+    tree = torch_state_dict_to_pytree(sd)
+    back = pytree_to_torch_state_dict(tree)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(back[k], sd[k])
+    # FIR buffers are dropped on import
+    sd2 = dict(sd, **{"blur.kernel": np.ones((4, 4))})
+    tree2 = torch_state_dict_to_pytree(sd2)
+    assert "blur" not in tree2
