@@ -63,7 +63,7 @@ def extract_feature_from_samples(
         bs = batch_size if idx < n_batch - 1 else resid
         rng, kz, kn = jax.random.split(rng, 3)
         z = jax.random.normal(kz, (bs, config.style_dim))
-        if shard is not None:
+        if shard is not None and bs % mesh.size == 0:
             z = jax.device_put(z, shard)
         if info_print and idx % 50 == 0:
             print(f"FID features: batch {idx + 1}/{n_batch}")

@@ -152,3 +152,24 @@ def test_mixing_inject_index_distribution():
         _, idx = _mixing_latents(jax.random.PRNGKey(s), 4, cfg1, n_latent=6)
         idxs.add(int(idx))
     assert idxs.issubset(set(range(1, 6))) and len(idxs) > 1
+
+
+def test_in_loop_fid_and_checkpoint(data_dir, ckpt_paths, tmp_path):
+    """model_save_freq triggers the in-loop FID (with a random inception +
+    self-stats) and a checkpoint save (reference train.py:436-452)."""
+    from content_aware_gan_compression_tpu.models.inception import (
+        inception_init)
+
+    student, teacher = ckpt_paths
+    cfg = make_cfg(data_dir, student, None, model_save_freq=2,
+                   fid_n_sample=4, fid_batch=2)
+    inc = inception_init(jax.random.PRNGKey(42))
+    stats = {"mean": np.zeros(2048), "cov": np.eye(2048)}
+    trainer = Trainer(cfg, exp_root=str(tmp_path), inception_params=inc,
+                      real_stats=stats)
+    logger = ExperimentLogger(str(tmp_path), name="fid_loop")
+    trainer.run(max_iters=3, logger=logger)
+    log_file = [f for f in os.listdir(logger.exp_dir) if f.endswith(".out")][0]
+    content = open(os.path.join(logger.exp_dir, log_file)).read()
+    assert "Evaluated FID:" in content
+    assert os.path.exists(os.path.join(logger.ckpt_dir, "000002.npz"))
