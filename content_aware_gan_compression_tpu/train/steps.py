@@ -84,6 +84,10 @@ def make_train_steps(
         fake_img = jax.lax.stop_gradient(fake_img)
 
         def loss_fn(dp):
+            # NB: a single batched D pass over [fake; real] would utilize the
+            # MXU better, but minibatch-stddev couples samples across the
+            # batch (stride-B//4 groups would mix fake and real), changing
+            # D's function — the two-call form is kept for reference parity.
             fake_pred = discriminator_apply(dp, d_config, fake_img, dtype=dtype)
             real_pred = discriminator_apply(dp, d_config, real_img, dtype=dtype)
             loss = d_logistic_loss(real_pred.astype(jnp.float32),
