@@ -125,10 +125,18 @@ class DiscriminatorConfig:
     blur_kernel: tuple[int, ...] = (1, 3, 3, 1)
     stddev_group: int = 4
     stddev_feat: int = 1
+    # Clamp on the per-resolution channel table. 512 == the reference table
+    # exactly (model.py:743-751 uses the same dict as the generator); smaller
+    # values give a narrow D for fast compile-check/dryrun configs on CPU.
+    channel_max: int = 512
 
     @property
     def log_size(self) -> int:
         return int(math.log2(self.size))
+
+    def channels(self) -> dict[int, int]:
+        return {k: min(v, self.channel_max)
+                for k, v in default_channels(self.channel_multiplier).items()}
 
 
 # ---------------------------------------------------------------------------
@@ -744,7 +752,7 @@ def _res_block(p, x, blur_kernel, precision=None):
 
 
 def discriminator_init(key, config: DiscriminatorConfig) -> Params:
-    ch = default_channels(config.channel_multiplier)
+    ch = config.channels()
     keys = iter(random.split(key, config.log_size + 4))
     convs = {"0": _conv_layer_init(next(keys), 3, ch[config.size], 1)}
     in_ch = ch[config.size]
