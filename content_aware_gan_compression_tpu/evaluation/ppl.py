@@ -48,7 +48,10 @@ def _ppl_batch(g_params, lpips_params, config, z, lerp_t, rng, eps):
                             input_is_latent=True, rng=rng)
     if image.shape[2] // 256 > 1:
         n, c = image.shape[0], image.shape[1]
-        image = jax.image.resize(image, (n, c, 256, 256), method="bilinear")
+        # antialias=False == torch F.interpolate(bilinear) — reference
+        # ppl.py:107-112 pools >256px images without antialiasing.
+        image = jax.image.resize(image, (n, c, 256, 256), method="bilinear",
+                                 antialias=False)
     dist = lpips_apply(lpips_params, image[::2], image[1::2])
     return dist.reshape(-1)
 
@@ -60,18 +63,28 @@ def get_ppl_score(
     """PPL over n_sample pairs (reference Get_PPL_Score, ppl.py:74-128)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     n_batch = max(n_sample // batch_size, 1)
+    resid = max(n_sample, batch_size) - n_batch * batch_size
     step = jax.jit(partial(_ppl_batch, config=config, eps=eps))
 
+    # Residual batch: the reference appends one more batch when n_sample
+    # isn't divisible (Evaluation/ppl.py:84-91) — buggily at FULL batch size
+    # (it passes `batch_size`, not `batch`), overshooting n_sample. We run
+    # the same full-size batch (keeps one jit trace) but keep only the first
+    # `resid` distances, so the sample count equals the flag exactly.
+    # Identical to the reference at the 5000/50 defaults (resid == 0).
     distances = []
-    for idx in range(n_batch):
+    total = n_batch + (1 if resid else 0)
+    for idx in range(total):
         rng, kz, kt, kn = jax.random.split(rng, 4)
         z = jax.random.normal(kz, (batch_size * 2, config.style_dim))
         lerp_t = jax.random.uniform(kt, (batch_size,))
         if info_print:
-            print(f"PPL batch {idx + 1}/{n_batch}")
+            print(f"PPL batch {idx + 1}/{total}")
         d = np.asarray(step(g_params, lpips_params, z=z, lerp_t=lerp_t, rng=kn))
         if divide_eps_sq:
             d = d / (eps ** 2)
+        if idx == n_batch:  # residual slot
+            d = d[:resid]
         distances.append(d)
 
     distances = np.concatenate(distances, 0)

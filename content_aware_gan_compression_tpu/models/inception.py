@@ -140,7 +140,11 @@ def inception_pool3(params, img_nchw, *, resize_input=True,
     x = img_nchw
     if resize_input:
         n, c = x.shape[0], x.shape[1]
-        x = jax.image.resize(x, (n, c, 299, 299), method="bilinear")
+        # antialias=False == torch F.interpolate(bilinear,
+        # align_corners=False) (reference inception.py:110-116); identical
+        # for the 256->299 upscale, parity-critical for 512/1024px inputs.
+        x = jax.image.resize(x, (n, c, 299, 299), method="bilinear",
+                             antialias=False)
     if normalize_input:
         x = 2 * x - 1
     x = jnp.transpose(x, (0, 2, 3, 1))

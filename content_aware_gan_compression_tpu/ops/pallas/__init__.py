@@ -6,11 +6,18 @@ are Pallas kernels with custom VJPs, selected by `use_pallas()` (env
 CAGC_USE_PALLAS=1) with the lax implementations as fallback and testing
 oracle.
 
-Measured on TPU v5e (16x128x128x154 fp32, fetch-blocked): XLA's fused
-elementwise chain and bf16 depthwise conv currently beat these kernels
-(act 1.6ms vs 3.3ms; blur 3.1ms vs 4.5ms), so dispatch defaults OFF and the
-kernels stand as a verified capability + precision option (they accumulate
-the FIR in fp32 where the lax conv rounds through bf16 at default precision).
+DESIGN DECISION (measured, round 2): XLA wins; dispatch defaults OFF.
+On TPU v5e, bf16, RTT-corrected timings at the discriminator's hot shape
+[16,256,256,128]: XLA depthwise-conv blur 1.4 ms fwd / 3.2 ms fwd+bwd vs
+Pallas 5.0 / 9.8 (the overlapping-halo row windows need pl.Element indexing,
+which defeats Mosaic's grid pipelining). Two XLA-level alternatives also
+measured and rejected: 16-term shifted-sum fusion (7.1 ms — each shifted
+operand re-reads HBM) and separable 1D depthwise pairs (1.9 ms fwd, parity;
+3.4 ms fwd+bwd). The lax implementations are the production path; these
+kernels stand as a verified capability + precision option (fp32 FIR
+accumulation where the lax conv rounds through bf16), now differentiable to
+ANY order (recursive custom VJPs — R1/path-length grad-of-grad tested in
+tests/test_pallas_ops.py).
 """
 
 import os

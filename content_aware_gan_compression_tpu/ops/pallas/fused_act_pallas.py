@@ -80,6 +80,27 @@ def _run_bwd(g, out):
 
 
 @jax.custom_vjp
+def _masked_scale(g, out):
+    """g * (out >= 0 ? 1 : slope) * scale — the CUDA case-31 grad kernel.
+    Linear in g with a piecewise-constant mask, so its own VJP reapplies the
+    same kernel to the incoming cotangent (CUDA case 32) and sends a zero
+    cotangent to `out` (the mask's a.e. derivative) — this keeps R1 and
+    path-length grad-of-grad differentiable through the Pallas path."""
+    return _run_bwd(g, out)
+
+
+def _masked_scale_fwd(g, out):
+    return _run_bwd(g, out), out
+
+
+def _masked_scale_bwd(out, gg):
+    return _masked_scale(gg, out), jnp.zeros_like(out)
+
+
+_masked_scale.defvjp(_masked_scale_fwd, _masked_scale_bwd)
+
+
+@jax.custom_vjp
 def fused_noise_bias_lrelu(x, noise, bias, noise_weight):
     """lrelu(x + noise_weight * noise + bias) * sqrt(2).
 
@@ -90,14 +111,16 @@ def fused_noise_bias_lrelu(x, noise, bias, noise_weight):
 
 
 def _fwd_vjp(x, noise, bias, noise_weight):
-    nw = jnp.asarray(noise_weight, x.dtype).reshape(1, 1)
-    out = _run_fwd(x, noise, bias, nw)
+    # Route through the custom_vjp function itself (not the raw pallas_call)
+    # so higher-order differentiation can linearize the residual path: the
+    # recursive call hits this same custom rule, one level per grad order.
+    out = fused_noise_bias_lrelu(x, noise, bias, noise_weight)
     return out, (out, noise, jnp.asarray(noise_weight, x.dtype))
 
 
 def _bwd_vjp(res, g):
     out, noise, nw = res
-    dx = _run_bwd(g, out)
+    dx = _masked_scale(g, out)
     sum_c_dx = jnp.sum(dx, axis=-1, keepdims=True)        # [B,H,W,1]
     dnoise = (nw * sum_c_dx).astype(noise.dtype)
     dbias = jnp.sum(dx, axis=(0, 1, 2))

@@ -54,9 +54,11 @@ def _blur4_padded(x_padded, taps, interpret=False):
     b, hp, wp, c = x_padded.shape
     h, w = hp - KH + 1, wp - KW + 1
     # row tile: keep in-tile + out-tile (double-buffered each) well under the
-    # 16MB scoped-VMEM limit
-    budget = 1024 * 1024
-    th = max(1, min(h, budget // max(wp * c * 4 * 2, 1)))
+    # 16MB scoped-VMEM limit; dtype-aware so bf16 gets tiles twice as tall
+    # (fewer grid steps -> bigger, better-amortized DMAs)
+    budget = 4 * 1024 * 1024
+    itemsize = jnp.dtype(x_padded.dtype).itemsize
+    th = max(1, min(h, budget // max(wp * c * itemsize * 2, 1)))
     while h % th:
         th -= 1
 
@@ -106,10 +108,13 @@ def _blur4_bwd(taps, pad, interpret, _res, g):
     p0, p1 = pad
     # adjoint of pad+correlate(flipped): correlate g with the UNflipped
     # kernel, padded with (k-1-p0, k-1-p1) — mirrors the reference's g_pad
-    # arithmetic (op/upfirdn2d.py:111-116)
+    # arithmetic (op/upfirdn2d.py:111-116). Blur is CLOSED under
+    # transposition, so the backward is expressed as _blur4_core again
+    # (with flipped taps): reverse-mode differentiates through it to any
+    # order — R1 and path-length grad-of-grad stay on the Pallas path.
     gp0, gp1 = KH - 1 - p0, KW - 1 - p1
-    gp = jnp.pad(g, ((0, 0), (gp0, gp1), (gp0, gp1), (0, 0)))
-    dx = _blur4_padded(gp, taps, interpret=interpret)
+    flipped = tuple(tuple(reversed(r)) for r in reversed(taps))
+    dx = _blur4_core(g, flipped, (gp0, gp1), interpret)
     return (dx,)
 
 

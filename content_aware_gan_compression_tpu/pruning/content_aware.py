@@ -36,10 +36,12 @@ CLOTH_CLASS = 16
 
 
 def _bilinear_resize(x, h, w):
-    """jax.image bilinear resize == torch F.interpolate(align_corners=False)
-    for the shapes used here (integer scale factors)."""
+    """torch F.interpolate(bilinear, align_corners=False) semantics: same
+    half-pixel sampling grid, and antialias=False because torch's bilinear
+    never widens the kernel on downscale (jax's antialias default does)."""
     b, c = x.shape[0], x.shape[1]
-    return jax.image.resize(x, (b, c, h, w), method="bilinear")
+    return jax.image.resize(x, (b, c, h, w), method="bilinear",
+                            antialias=False)
 
 
 def normalize_for_parsing(img_nchw):

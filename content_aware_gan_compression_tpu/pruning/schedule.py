@@ -35,9 +35,13 @@ _MAP_METRICS = {
 def get_map_based_score(params, config, z, rng, metric, batch_size=10):
     """Score channels from layer activations (reference pruning_util.py:9-50).
 
-    Processes the latent stack in `batch_size` chunks (high-res activations
-    for 50+ samples would not fit on one chip at 1024px), concatenating
-    chunk activations per layer so the metric sees the full sample set.
+    Streaming: every map metric here is a function of three per-layer
+    moments — S1=sum(x), S2=sum(x^2) over samples (per pixel) and
+    Sabs=sum|x| (per channel) — so chunks of `batch_size` samples are
+    reduced ON DEVICE into accumulators the size of ONE sample's maps.
+    The reference (and round 1) concatenated the full [N,C,H,W] stacks on
+    the host: tens of GB at 1024px x 400 samples. Identical math up to fp
+    summation order (np.std ddof=0 == S2/N - (S1/N)^2).
 
     NB: the reference re-runs the generator once PER LAYER per batch, each
     with fresh random noise (Get_Layer_Output, network_util.py:54-87), so
@@ -46,28 +50,65 @@ def get_map_based_score(params, config, z, rng, metric, batch_size=10):
     equivalent for channel ranking and one generator pass instead of
     n_layers.
     """
-    score_fn = _MAP_METRICS[metric]
     n = z.shape[0]
     n_batch = max(n // batch_size, 1)
+    m = min(batch_size, n)  # per-chunk sample count
 
-    # accumulate raw activations per layer chunk-by-chunk on host (the
-    # reference concatenates full maps; we keep that exact semantics since
-    # std over samples is not chunk-decomposable without care)
-    per_layer_chunks = None
+    def chunk_moments(zc, sub):
+        """(chunk mean, chunk M2=sum (x-mean)^2, sum x^2, sum|x|) per layer —
+        Welford-style per-chunk centering keeps the variance stable where the
+        naive sum-of-squares formula cancels (e.g. the constant input's true
+        zero variance)."""
+        outs = generator_feature_maps(params, config, zc, rng=sub)
+        mom = []
+        for o in outs:
+            cm = jnp.mean(o, axis=0)
+            mom.append((cm,
+                        jnp.sum(jnp.square(o - cm[None]), axis=0),
+                        jnp.sum(jnp.square(o), axis=(0, 2, 3)),
+                        jnp.sum(jnp.abs(o), axis=(0, 2, 3))))
+        return mom
+
+    @jax.jit
+    def init(zc, sub):
+        return chunk_moments(zc, sub)
+
+    @jax.jit
+    def merge(acc, count, zc, sub):
+        """Chan et al. parallel-variance merge of the chunk into the
+        running (mean, M2) accumulators."""
+        mom = chunk_moments(zc, sub)
+        out = []
+        for (mean_a, m2_a, s2_a, ab_a), (mean_b, m2_b, s2_b, ab_b) in zip(
+                acc, mom):
+            tot = count + m
+            delta = mean_b - mean_a
+            mean = mean_a + delta * (m / tot)
+            m2 = m2_a + m2_b + jnp.square(delta) * (count * m / tot)
+            out.append((mean, m2, s2_a + s2_b, ab_a + ab_b))
+        return out
+
+    acc = None
+    count = 0
     for i in range(n_batch):
         zc = z[i * batch_size:(i + 1) * batch_size]
         rng, sub = jax.random.split(rng)
-        outs = generator_feature_maps(params, config, zc, rng=sub)
-        outs = [np.asarray(o) for o in outs]
-        if per_layer_chunks is None:
-            per_layer_chunks = [[o] for o in outs]
-        else:
-            for acc, o in zip(per_layer_chunks, outs):
-                acc.append(o)
+        acc = init(zc, sub) if acc is None else merge(acc, count, zc, sub)
+        count += zc.shape[0]
+
     scores = []
-    for chunks in per_layer_chunks:
-        fea = np.concatenate(chunks, axis=0)
-        scores.append(np.asarray(score_fn(jnp.asarray(fea))))
+    for mean, m2, s2, sabs in acc:
+        c, h, w = mean.shape
+        asv = jnp.mean(jnp.sqrt(m2 / count), axis=(1, 2))  # std, ddof=0
+        if metric == "ASV":
+            score = asv
+        elif metric == "l1-map":
+            score = sabs / (count * h * w)
+        elif metric == "l1-norm-ASV":
+            score = asv / (sabs / (count * h * w))
+        else:  # l2-norm-ASV
+            score = asv / jnp.sqrt(s2)
+        scores.append(np.asarray(score))
     return scores
 
 

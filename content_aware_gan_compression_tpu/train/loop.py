@@ -32,14 +32,23 @@ from .steps import make_train_steps, make_optimizers, ema_accumulate
 
 
 def _opt_state_to_tree(state):
-    return {str(i): leaf for i, leaf in
-            enumerate(jax.tree_util.tree_leaves(state))}
+    """Serialize optimizer state keyed by the leaf's named tree path (e.g.
+    '[0].mu['conv1']['weight']'), so resume survives optax restructuring
+    instead of breaking silently on a leaf-order change."""
+    flat = jax.tree_util.tree_flatten_with_path(state)[0]
+    return {jax.tree_util.keystr(path): leaf for path, leaf in flat}
 
 
 def _opt_state_from_tree(tree, template):
-    leaves = [jnp.asarray(tree[str(i)]) for i in range(len(tree))]
-    return jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(template), leaves)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    keys = [jax.tree_util.keystr(path) for path, _ in flat]
+    if all(k in tree for k in keys):
+        leaves = [jnp.asarray(tree[k]) for k in keys]
+    else:
+        # legacy leaf-index checkpoints ('0', '1', ...) — valid only while
+        # the flatten order matches the save-time optax version
+        leaves = [jnp.asarray(tree[str(i)]) for i in range(len(tree))]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def _load_generator_tree(ckpt, key):
@@ -147,7 +156,7 @@ class Trainer:
         # --- jitted steps -----------------------------------------------------
         # Buffer donation: params/optimizer-state inputs are consumed by each
         # step, so the updated pytrees reuse the same HBM.
-        d_step, d_reg_step, g_step, g_reg_step, _dg = make_train_steps(
+        d_step, d_reg_step, g_step, g_reg_step, dg_step = make_train_steps(
             self.g_config, d_config, cfg, teacher_config=self.teacher_config,
             dtype=self.dtype)
         self._d_step = jax.jit(partial(d_step, d_opt=self.d_opt),
@@ -158,7 +167,18 @@ class Trainer:
                                donate_argnums=(0, 1))
         self._g_reg_step = jax.jit(partial(g_reg_step, g_opt=self.g_opt),
                                    donate_argnums=(0, 1))
+        # Fused D+G single jit for iterations with no D regularizer: fewer
+        # dispatches, one optimization barrier instead of two. On d_reg
+        # iterations (every 16) the separate-step path keeps the reference's
+        # exact ordering (D gan -> R1 -> G gan, train.py:379-388).
+        self._dg_step = jax.jit(
+            partial(dg_step, d_opt=self.d_opt, g_opt=self.g_opt),
+            donate_argnums=(0, 1, 2, 3))
         self._ema = jax.jit(ema_accumulate, donate_argnums=(0,))
+        # val-sample grids: jitted — eager per-op dispatch is pathological
+        # through the tunneled relay (one RTT per op)
+        self._sample_fn = jax.jit(lambda p, z, k: generator_apply(
+            p, self.g_config, [z], rng=k))
         # uint8 HWC batches travel host->device 4x smaller; normalize + CHW
         # on device
         self._prep = jax.jit(
@@ -179,30 +199,46 @@ class Trainer:
         self.exp_root = exp_root
 
     # -------------------------------------------------------------------------
+    def put_batch(self, real_img):
+        """Async host->device transfer of one batch with data sharding (the
+        device-side prefetch: call on batch N+1 while step N executes)."""
+        real = shard_batch(self.mesh, jnp.asarray(real_img))
+        if real.dtype == jnp.uint8:  # [B,H,W,3] small-wire path
+            real = self._prep(real)
+        return real
+
     def step(self, iter_idx: int, real_img, mean_path_length):
         """One reference iteration (train.py:371-398). Returns metrics dict
-        and the updated mean_path_length."""
+        and the updated mean_path_length. real_img may be a host array or an
+        already-sharded device batch from put_batch()."""
         cfg = self.cfg
         metrics = {}
         self.rng, k_d, k_g, k_greg = random.split(self.rng, 4)
 
-        real = shard_batch(self.mesh, jnp.asarray(real_img))
-        if real.dtype == jnp.uint8:  # [B,H,W,3] small-wire path
-            real = self._prep(real)
-
-        self.d_params, self.d_opt_state, m = self._d_step(
-            self.g_params, self.d_params, self.d_opt_state, real, k_d)
-        metrics.update(m)
+        real = real_img if isinstance(real_img, jax.Array) \
+            else self.put_batch(real_img)
 
         if iter_idx % cfg.d_reg_freq == 0:
+            # reference ordering on R1 iterations: D gan -> R1 -> G gan
+            self.d_params, self.d_opt_state, m = self._d_step(
+                self.g_params, self.d_params, self.d_opt_state, real, k_d)
+            metrics.update(m)
             self.d_params, self.d_opt_state, m = self._d_reg_step(
                 self.d_params, self.d_opt_state, real)
             metrics.update(m)
-
-        self.g_params, self.g_opt_state, m = self._g_step(
-            self.g_params, self.g_opt_state, self.d_params, k_g,
-            self.teacher_params, self.lpips_params, self.parse_params)
-        metrics.update(m)
+            self.g_params, self.g_opt_state, m = self._g_step(
+                self.g_params, self.g_opt_state, self.d_params, k_g,
+                self.teacher_params, self.lpips_params, self.parse_params)
+            metrics.update(m)
+        else:
+            # fused single-jit D+G (bit-identical to the sequential pair,
+            # tests/test_fused_step.py); splits its key into k_d/k_g inside
+            (self.g_params, self.g_opt_state, self.d_params,
+             self.d_opt_state, m) = self._dg_step(
+                self.g_params, self.g_opt_state, self.d_params,
+                self.d_opt_state, real, k_d, self.teacher_params,
+                self.lpips_params, self.parse_params)
+            metrics.update(m)
 
         if iter_idx % cfg.g_reg_freq == 0:
             self.g_params, self.g_opt_state, mean_path_length, m = \
@@ -245,27 +281,65 @@ class Trainer:
         end = min(cfg.training_iters,
                   self.start_iter + max_iters if max_iters else
                   cfg.training_iters)
+
+        def flush(pending):
+            """Fetch + log a previous iteration's metrics — called AFTER the
+            next step has been dispatched, so the device->host pull overlaps
+            the in-flight step instead of stalling the device."""
+            p_idx, p_t0, p_metrics, p_mpl = pending
+            keys = sorted(p_metrics)
+            # one packed transfer for all scalars (per-leaf fetches each pay
+            # a full host round-trip on the tunneled relay)
+            vals = np.asarray(jnp.stack(
+                [p_metrics[k] for k in keys] + [p_mpl]))
+            last_metrics.update({k: float(v) for k, v in zip(keys, vals)})
+            last_metrics["mean_path_avg"] = float(vals[-1])
+            logger.log_iteration(p_idx, time.time() - p_t0, last_metrics)
+
+        pending = None
+        fid_eval = None
+
+        def fid_tick(n_batches):
+            """Advance an in-flight overlapped FID eval; log on completion."""
+            nonlocal fid_eval
+            if fid_eval is None:
+                return
+            score = fid_eval.advance(n_batches)
+            if score is not None:
+                logger.log_fid(score)
+                logger.write(
+                    f"FID eval overlapped with training: wall "
+                    f"{time.time() - fid_eval.started:.1f}s, host-side cost "
+                    f"{fid_eval.extra_seconds:.1f}s\n")
+                fid_eval = None
+
         try:
+            real = self.put_batch(next(loader))  # prime the prefetch queue
             for iter_idx in range(self.start_iter, end):
                 t0 = time.time()
-                real_img = next(loader)
                 metrics, mean_path_length = self.step(
-                    iter_idx, real_img, mean_path_length)
-                # one packed device->host transfer for all scalars (per-leaf
-                # fetches each pay a full host round-trip)
-                keys = sorted(metrics)
-                vals = np.asarray(jnp.stack(
-                    [metrics[k] for k in keys] + [mean_path_length]))
-                last_metrics.update(
-                    {k: float(v) for k, v in zip(keys, vals)})
-                last_metrics["mean_path_avg"] = float(vals[-1])
-                logger.log_iteration(iter_idx, time.time() - t0, last_metrics)
+                    iter_idx, real, mean_path_length)
+                if iter_idx + 1 < end:
+                    # async upload of the NEXT batch while this step runs
+                    real = self.put_batch(next(loader))
+                # a few FID feature batches ride the same device stream
+                fid_tick(cfg.fid_batches_per_iter)
+                if pending is not None:
+                    flush(pending)
+                pending = (iter_idx, t0, metrics, mean_path_length)
+
+                # periodic events sync the device anyway — flush first so the
+                # log lines stay in iteration order around sample/FID/ckpt
+                if (iter_idx % cfg.val_sample_freq == 0
+                        or (iter_idx % cfg.model_save_freq == 0
+                            and iter_idx > 0)):
+                    flush(pending)
+                    pending = None
 
                 if iter_idx % cfg.val_sample_freq == 0:
                     self.rng, k_noise = random.split(self.rng)
-                    sample = generator_apply(
-                        self.g_ema_params, self.g_config, [sample_z],
-                        rng=k_noise)
+                    sample = self._sample_fn(self.g_ema_params, sample_z,
+                                             k_noise)
                     save_image_grid(
                         sample,
                         os.path.join(logger.sample_dir,
@@ -275,14 +349,32 @@ class Trainer:
                 if iter_idx % cfg.model_save_freq == 0 and iter_idx > 0:
                     if (self.inception_params is not None
                             and self.real_stats is not None):
-                        from ..evaluation import get_model_fid_score
-                        fid = get_model_fid_score(
-                            self.g_ema_params, self.g_config,
-                            self.inception_params, self.real_stats,
-                            batch_size=cfg.fid_batch,
-                            num_sample=cfg.fid_n_sample, mesh=self.mesh)
-                        logger.log_fid(fid)
+                        if cfg.fid_overlap:
+                            # start an overlapped eval on a g_ema snapshot;
+                            # batches interleave with the coming iterations
+                            from ..evaluation import OverlappedFIDEval
+
+                            if fid_eval is not None:  # drain a straggler
+                                fid_tick(10 ** 9)
+                            self.rng, k_fid = random.split(self.rng)
+                            fid_eval = OverlappedFIDEval(
+                                self.g_ema_params, self.g_config,
+                                self.inception_params, self.real_stats,
+                                batch_size=cfg.fid_batch,
+                                n_sample=cfg.fid_n_sample, rng=k_fid,
+                                mesh=self.mesh)
+                        else:
+                            from ..evaluation import get_model_fid_score
+                            fid = get_model_fid_score(
+                                self.g_ema_params, self.g_config,
+                                self.inception_params, self.real_stats,
+                                batch_size=cfg.fid_batch,
+                                num_sample=cfg.fid_n_sample, mesh=self.mesh)
+                            logger.log_fid(fid)
                     self.save(logger, iter_idx)
+            fid_tick(10 ** 9)  # drain any in-flight eval before returning
+            if pending is not None:
+                flush(pending)
         finally:
             loader.close()
         return logger

@@ -32,8 +32,12 @@ def r1_penalty(d_apply, d_params, real_img):
 
 
 def _downsample_256(img_nchw):
+    # antialias=False matches torch F.interpolate(bilinear,
+    # align_corners=False) — the reference's pooling for >256px KD-LPIPS
+    # inputs (train.py:176-182); jax's antialias default would deviate.
     n, c = img_nchw.shape[0], img_nchw.shape[1]
-    return jax.image.resize(img_nchw, (n, c, 256, 256), method="bilinear")
+    return jax.image.resize(img_nchw, (n, c, 256, 256), method="bilinear",
+                            antialias=False)
 
 
 def kd_loss(

@@ -116,6 +116,7 @@ class SparsityTrainer(Trainer):
         batch = cfg.batch_size
         n_latent = g_config.n_latent
         d_config = self.d_config
+        dtype = self.dtype  # thread compute_dtype/remat like the parent's steps
         from ..models.stylegan2 import discriminator_apply
 
         def g_step(g_params, g_opt_state, d_params, rng,
@@ -127,16 +128,21 @@ class SparsityTrainer(Trainer):
             if teacher_params is not None:
                 teacher_list = generator_apply(
                     teacher_params, t_config, zs, inject_index=inject_index,
-                    rng=k_tnoise, return_rgb_list=True)
-                teacher_list = [jax.lax.stop_gradient(t) for t in teacher_list]
+                    rng=k_tnoise, return_rgb_list=True, dtype=dtype)
+                teacher_list = [jax.lax.stop_gradient(t.astype(jnp.float32))
+                                for t in teacher_list]
 
             def loss_fn(gp):
                 fake_list, style_list = generator_apply(
                     gp, g_config, zs, inject_index=inject_index, rng=k_noise,
-                    return_rgb_list=True, return_style_scalars=True)
+                    return_rgb_list=True, return_style_scalars=True,
+                    dtype=dtype, remat=cfg.remat)
+                fake_list = [f.astype(jnp.float32) for f in fake_list]
                 fake_img = fake_list[-1]
-                fake_pred = discriminator_apply(d_params, d_config, fake_img)
-                g_loss = g_nonsaturating_loss(fake_pred)
+                fake_pred = discriminator_apply(d_params, d_config, fake_img,
+                                                dtype=dtype)
+                g_loss = g_nonsaturating_loss(fake_pred.astype(jnp.float32))
+                style_list = [s.astype(jnp.float32) for s in style_list]
                 sparse = l1_style_sparse_loss(style_list, opts["sparsity_eta"])
                 metrics = {"g": g_loss, "sparse": sparse}
                 total = g_loss + sparse
@@ -172,7 +178,8 @@ class SparsityTrainer(Trainer):
             g_params = optax.apply_updates(g_params, updates)
             return g_params, g_opt_state, metrics
 
-        self._g_step = jax.jit(partial(g_step, g_opt=self.g_opt))
+        self._g_step = jax.jit(partial(g_step, g_opt=self.g_opt),
+                               donate_argnums=(0, 1))
 
     def prune_in_training(self, rng):
         """Score -> mask -> slice g and g_ema -> rebuild optimizers and steps

@@ -88,3 +88,60 @@ def test_blur4_pallas_gradient_matches_lax():
     gl = jax.grad(loss_l)(x)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gl),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_blur4_pallas_grad_of_grad_matches_lax():
+    """Second-order autodiff through the Pallas blur (R1/path-length need
+    it): the custom VJP's backward is itself a blur4 custom-VJP call."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from content_aware_gan_compression_tpu.ops.pallas import blur4_pallas
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4), jnp.float32)
+    k = make_kernel([1, 3, 3, 1])
+    pad = (2, 1)
+
+    def outer_l(x):
+        g = jax.grad(lambda x: jnp.sum(upfirdn2d(x, k, pad=pad) ** 3))(x)
+        return jnp.sum(g ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        def outer_p(x):
+            g = jax.grad(lambda x: jnp.sum(
+                blur4_pallas(x, np.asarray(k), pad, 1.0, True) ** 3))(x)
+            return jnp.sum(g ** 2)
+
+        gg_p = jax.grad(outer_p)(x)
+    gg_l = jax.grad(outer_l)(x)
+    np.testing.assert_allclose(np.asarray(gg_p), np.asarray(gg_l),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_act_grad_of_grad_matches_lax():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from content_aware_gan_compression_tpu.ops.pallas import (
+        fused_noise_bias_lrelu)
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 8, 8, 16), jnp.float32)
+    noise = jnp.asarray(rng.randn(2, 8, 8, 1), jnp.float32)
+    bias = jnp.asarray(rng.randn(16), jnp.float32)
+    nw = jnp.asarray(0.3)
+
+    def outer_l(x):
+        g = jax.grad(lambda x: jnp.sum(
+            fused_leaky_relu(x + nw * noise, bias) ** 2))(x)
+        return jnp.sum(g ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        def outer_p(x):
+            g = jax.grad(lambda x: jnp.sum(
+                fused_noise_bias_lrelu(x, noise, bias, nw) ** 2))(x)
+            return jnp.sum(g ** 2)
+
+        gg_p = jax.grad(outer_p)(x)
+    gg_l = jax.grad(outer_l)(x)
+    np.testing.assert_allclose(np.asarray(gg_p), np.asarray(gg_l),
+                               rtol=1e-4, atol=1e-5)

@@ -251,3 +251,38 @@ def test_keep_multiple_rounds_kept_width_up():
     assert kept == [192, 192, 64]  # 154 -> 192, 30 -> 64
     # default path unchanged
     assert get_uniform_remove_list((512,), 0.7) == [358]
+
+
+def test_streaming_map_score_matches_direct(gen_params):
+    """The device-side moment accumulation (round-2 streaming rewrite of
+    get_map_based_score) must match scoring the concatenated activation
+    stack directly, for every map metric."""
+    from content_aware_gan_compression_tpu.models.stylegan2 import (
+        generator_feature_maps)
+    from content_aware_gan_compression_tpu.pruning.schedule import (
+        get_map_based_score, _MAP_METRICS)
+
+    z = jax.random.normal(jax.random.PRNGKey(11), (12, CFG.style_dim))
+    rng = jax.random.PRNGKey(12)
+
+    # direct: same chunking/noise draws as the streaming path
+    rng2 = rng
+    chunks = None
+    for i in range(3):
+        zc = z[i * 4:(i + 1) * 4]
+        rng2, sub = jax.random.split(rng2)
+        outs = [np.asarray(o) for o in
+                generator_feature_maps(gen_params, CFG, zc, rng=sub)]
+        chunks = [[o] for o in outs] if chunks is None else [
+            acc + [o] for acc, o in zip(chunks, outs)]
+    stacks = [np.concatenate(c, 0) for c in chunks]
+
+    for metric, fn in _MAP_METRICS.items():
+        want = [np.asarray(fn(jnp.asarray(s))) for s in stacks]
+        got = get_map_based_score(gen_params, CFG, z, rng, metric,
+                                  batch_size=4)
+        for a, b in zip(got, want):
+            # atol floor: the constant-input layer's true ASV is 0; both
+            # paths produce O(1e-7) fp noise there with different signs
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5,
+                                       err_msg=metric)
