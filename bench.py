@@ -17,6 +17,7 @@ Baseline: the reference retrains 450k iters in 131 h on 2x V100
 import argparse
 import json
 import math
+import os
 import sys
 import time
 from functools import partial
@@ -31,16 +32,24 @@ def main():
     # warmup must cover one full regularizer cadence (d_reg every 16) TWICE:
     # the reg steps recompile when they first consume step-produced buffer
     # layouts rather than freshly-initialized params.
-    parser.add_argument("--iters", type=int, default=48)
+    parser.add_argument("--iters", type=int, default=64)
     parser.add_argument("--warmup", type=int, default=33)
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--remove_ratio", type=float, default=0.7)
+    parser.add_argument("--keep_multiple", type=int, default=1,
+                        help="round kept student widths UP to this multiple "
+                             "(lane-friendly pruning, prune.py extension); "
+                             "64 pads low-C layers onto full 64-lane bf16 "
+                             "tiles at 1024px")
     parser.add_argument("--remat", action="store_true", default=False,
                         help="checkpoint synthesis blocks (1024px memory)")
-    parser.add_argument("--fused", action="store_true", default=False,
-                        help="use the single-jit fused D+G step")
+    parser.add_argument("--per_iter_fetch", action="store_true", default=False,
+                        help="fetch a scalar every iteration (adds one relay "
+                             "round-trip ~27ms/iter on tunneled dev boxes; "
+                             "default measures pipelined steady state, which "
+                             "is how the production loop runs)")
     parser.add_argument("--metric", type=str, default="retrain",
                         choices=["retrain", "generate"],
                         help="retrain iters/s (default) or generation "
@@ -68,8 +77,13 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
     # 11x-compressed student: keep ceil(width * (1 - ratio)) per layer
+    from content_aware_gan_compression_tpu.pruning import (
+        get_uniform_remove_list)
+
     full = default_net_shape(args.size)
-    student_shape = tuple(c - int(c * args.remove_ratio) for c in full)
+    rmv = get_uniform_remove_list(full, args.remove_ratio,
+                                  keep_multiple=args.keep_multiple)
+    student_shape = tuple(c - r for c, r in zip(full, rmv))
     g_config = GeneratorConfig(size=args.size, net_shape=student_shape)
     t_config = GeneratorConfig(size=args.size)
     d_config = DiscriminatorConfig(size=args.size)
@@ -126,23 +140,21 @@ def main():
 
     def one_iter(i, g_params, d_params, g_opt_state, d_opt_state, g_ema, mpl,
                  rng):
+        """Mirror Trainer.step exactly: fused D+G single jit on iterations
+        with no R1; separate steps in the reference order (D gan -> R1 ->
+        G gan) when the R1 regularizer fires (every 16)."""
         rng, k_dg, k_r = jax.random.split(rng, 3)
-        if args.fused:
-            g_params, g_opt_state, d_params, d_opt_state, m = dg_step(
-                g_params, g_opt_state, d_params, d_opt_state, real, k_dg,
-                t_params, None, None)
-            if i % cfg.d_reg_freq == 0:
-                d_params, d_opt_state, _ = d_reg_step(d_params, d_opt_state,
-                                                      real)
-        else:
+        if i % cfg.d_reg_freq == 0:
             k_d, k_g = jax.random.split(k_dg)
             d_params, d_opt_state, _ = d_step(g_params, d_params, d_opt_state,
                                               real, k_d)
-            if i % cfg.d_reg_freq == 0:
-                d_params, d_opt_state, _ = d_reg_step(d_params, d_opt_state,
-                                                      real)
+            d_params, d_opt_state, _ = d_reg_step(d_params, d_opt_state, real)
             g_params, g_opt_state, m = g_step(g_params, g_opt_state, d_params,
                                               k_g, t_params, None, None)
+        else:
+            g_params, g_opt_state, d_params, d_opt_state, m = dg_step(
+                g_params, g_opt_state, d_params, d_opt_state, real, k_dg,
+                t_params, None, None)
         if i % cfg.g_reg_freq == 0:
             g_params, g_opt_state, mpl, _ = g_reg_step(g_params, g_opt_state,
                                                        k_r, mpl)
@@ -154,23 +166,57 @@ def main():
         *state, m = one_iter(i, *state)
         float(m["g"])  # fetch-block: the relay's block_until_ready is lax
 
+    # Steady-state timing: dispatch every iteration, fence ONCE on a scalar
+    # at the end. The device stream is ordered, so total wall time == device
+    # time for the whole window; a per-iteration fetch would add one relay
+    # round-trip (~27 ms measured on the tunneled dev box) per iteration
+    # that the production loop does not pay (it overlaps its metric fetch
+    # with the next step's execution — train/loop.py).
     per_iter = []
     t0 = time.perf_counter()
     for i in range(args.iters):
         t1 = time.perf_counter()
         *state, m = one_iter(i + args.warmup, *state)
-        float(m["g"])  # one scalar fetch per iter; device stream is ordered
-        per_iter.append(time.perf_counter() - t1)
+        if args.per_iter_fetch:
+            float(m["g"])
+            per_iter.append(time.perf_counter() - t1)
+    float(m["g"])
     dt = time.perf_counter() - t0
-    print("per-iter ms:", [round(t * 1000) for t in per_iter],
-          file=sys.stderr)
+    if per_iter:
+        print("per-iter ms:", [round(t * 1000) for t in per_iter],
+              file=sys.stderr)
 
     iters_per_sec = args.iters / dt
+
+    # MFU: per-iteration MACs from the reference-formula calculators
+    # (utils/calculators.py), standard 1x/3x fwd/bwd multipliers, over the
+    # measured-achievable chip peak.
+    from content_aware_gan_compression_tpu.utils.calculators import (
+        stylegan2_flops, discriminator_flops)
+
+    g_macs = stylegan2_flops(generator_init(jax.random.PRNGKey(0), g_config))
+    t_macs = stylegan2_flops(generator_init(jax.random.PRNGKey(0), t_config))
+    d_macs = discriminator_flops(args.size)
+    B = args.batch_size
+    per_iter_macs = (
+        # d phase: student fwd + 2x D fwd+bwd(params) (3x fwd each)
+        B * (g_macs + 2 * 3 * d_macs)
+        # g phase: student fwd+bwd (3x) + D fwd + D input-bwd (2x) + teacher
+        + B * (3 * g_macs + 2 * d_macs + t_macs)
+        # R1 every d_reg_freq: grad-of-grad ~ 2x a fwd+bwd pass
+        + B * (2 * 3 * d_macs) / cfg.d_reg_freq
+        # path length every g_reg_freq at B/2: ~2x a fwd+bwd pass
+        + (B // cfg.path_reg_batch_shrink) * (2 * 3 * g_macs) / cfg.g_reg_freq
+    )
+    PEAK_TFLOPS = float(os.environ.get("CAGC_PEAK_TFLOPS", "197"))  # v5e bf16
+    mfu = (per_iter_macs * 2 * iters_per_sec) / (PEAK_TFLOPS * 1e12)
+
     print(json.dumps({
         "metric": "retrain_iters_per_sec",
         "value": round(iters_per_sec, 4),
         "unit": "iter/s",
         "vs_baseline": round(iters_per_sec / REFERENCE_ITERS_PER_SEC, 4),
+        "mfu": round(mfu, 4),
     }))
 
 

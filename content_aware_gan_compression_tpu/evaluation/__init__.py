@@ -5,6 +5,7 @@ from .fid import (
     calc_fid,
     get_model_fid_score,
     compute_real_stats_from_folder,
+    OverlappedFIDEval,
 )
 from .ppl import get_ppl_score, lerp, slerp
 
@@ -13,6 +14,7 @@ __all__ = [
     "calc_fid",
     "get_model_fid_score",
     "compute_real_stats_from_folder",
+    "OverlappedFIDEval",
     "get_ppl_score",
     "lerp",
     "slerp",

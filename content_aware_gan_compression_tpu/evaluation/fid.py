@@ -122,6 +122,84 @@ def get_model_fid_score(
                     real_stats["mean"], real_stats["cov"])
 
 
+class OverlappedFIDEval:
+    """In-loop FID that interleaves with training instead of stalling it
+    (SURVEY.md section 7 hard-part #5; the reference blocks the loop for the
+    full 50k-sample pass, train.py:436-441).
+
+    One (or a few) feature batches are dispatched per training iteration
+    onto the same ordered device stream; the feature fetch for batch i is
+    delayed until after later work has been dispatched, so the device never
+    idles waiting on the host. Evaluates a SNAPSHOT of g_ema taken at
+    construction time, preserving the reference's "FID of g_ema at iteration
+    k" semantics while the live g_ema keeps training.
+    """
+
+    def __init__(self, g_params, config, inc_params, real_stats, *,
+                 batch_size=64, n_sample=50000, rng=None, mesh=None,
+                 truncation=1.0, truncation_latent=None):
+        # snapshot: the training loop donates/overwrites the live buffers
+        self._g = jax.tree_util.tree_map(jnp.copy, g_params)
+        self._inc = inc_params
+        self._real = (load_real_stats(real_stats)
+                      if isinstance(real_stats, str) else real_stats)
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._cfg = config
+        self._bs = batch_size
+        self._n_batch = n_sample // batch_size
+        self._resid = n_sample - (self._n_batch - 1) * batch_size
+        self._step = jax.jit(partial(
+            _feature_step, config=config, truncation=truncation,
+            truncation_latent=truncation_latent))
+        self._shard = None
+        if mesh is not None:
+            from ..parallel import batch_sharding
+
+            self._mesh_size = mesh.size
+            self._shard = batch_sharding(mesh)
+        self._idx = 0
+        self._pending = None   # device features awaiting fetch
+        self._feats = []
+        self.started = time.time()
+        self.extra_seconds = 0.0  # host+fetch time attributable to the eval
+
+    @property
+    def done(self) -> bool:
+        return self._idx >= self._n_batch and self._pending is None
+
+    def advance(self, n_batches: int = 1):
+        """Dispatch up to n_batches feature batches and drain the delayed
+        fetch. Returns the FID score when the stream completes, else None."""
+        for _ in range(n_batches):
+            if self._idx >= self._n_batch:
+                break
+            bs = self._bs if self._idx < self._n_batch - 1 else self._resid
+            self._rng, kz, kn = jax.random.split(self._rng, 3)
+            z = jax.random.normal(kz, (bs, self._cfg.style_dim))
+            if self._shard is not None and bs % self._mesh_size == 0:
+                z = jax.device_put(z, self._shard)
+            feats = self._step(self._g, self._inc, z=z, rng=kn)
+            if self._pending is not None:
+                t0 = time.time()
+                self._feats.append(np.asarray(self._pending))
+                self.extra_seconds += time.time() - t0
+            self._pending = feats
+            self._idx += 1
+        if self._idx >= self._n_batch and self._pending is not None:
+            t0 = time.time()
+            self._feats.append(np.asarray(self._pending))
+            self._pending = None
+            features = np.concatenate(self._feats, 0).astype(np.float64)
+            self._feats = []
+            self._g = None  # release the snapshot HBM
+            score = calc_fid(np.mean(features, 0),
+                             np.cov(features, rowvar=False),
+                             self._real["mean"], self._real["cov"])
+            self.extra_seconds += time.time() - t0
+            return score
+        return None
+
+
 def compute_real_stats_from_folder(
     folder: str, inc_params, *, size: int, batch_size=64, n_sample=None,
     save_path: str | None = None, info_print=False,

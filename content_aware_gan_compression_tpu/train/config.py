@@ -50,6 +50,11 @@ class TrainConfig:
     compute_dtype: str = "float32"    # 'bfloat16' for the fast path
     n_devices: int | None = None      # None -> all local devices
     remat: bool = False               # checkpoint synthesis blocks (1024px)
+    # in-loop FID runs interleaved with training (a few feature batches per
+    # iteration on the same device stream) instead of stalling the loop for
+    # the full 50k-sample pass like the reference (train.py:436-441)
+    fid_overlap: bool = True
+    fid_batches_per_iter: int = 2
 
     @property
     def g_reg_ratio(self) -> float:

@@ -65,3 +65,29 @@ def stylegan2_flops(params):
     """Total generator FLOPs (reference Calculators.py:95-105)."""
     return (styled_conv_flops(params, False) + to_rgb_flops(params, False)
             + mapping_network_flops(params) + style_modulation_flops(params))
+
+
+def discriminator_flops(size: int, channel_multiplier: int = 2,
+                        channel_max: int = 512):
+    """Discriminator MAC count per image (TPU extension — the reference
+    counts only generator FLOPs). Mirrors the architecture of
+    models/stylegan2.discriminator_init: 1x1 stem, log2(size)-2 residual
+    blocks (conv1 3x3 same-res, conv2 3x3 stride-2, 1x1 skip), minibatch
+    stddev channel, final 3x3 conv + two linears."""
+    from ..models.stylegan2 import default_channels
+
+    ch = {k: min(v, channel_max) for k, v in
+          default_channels(channel_multiplier).items()}
+    total = 3 * ch[size] * size * size  # stem 1x1
+    res = size
+    in_ch = ch[size]
+    while res > 4:
+        out_ch = ch[res // 2]
+        total += in_ch * in_ch * 9 * res * res          # conv1 3x3
+        total += in_ch * out_ch * 9 * (res // 2) ** 2   # conv2 3x3 stride 2
+        total += in_ch * out_ch * (res // 2) ** 2       # skip 1x1
+        in_ch = out_ch
+        res //= 2
+    total += (in_ch + 1) * ch[4] * 9 * 16               # final_conv @4x4
+    total += ch[4] * 16 * ch[4] + ch[4]                 # final linears
+    return total
