@@ -68,6 +68,57 @@ def _make_op_module():
 _cache = {}
 
 
+def load_reference_util(name):
+    """Import a /root/reference/Util/<name>.py module read-only, with shims
+    for the deps this CPU-only-torch box lacks (torchvision, the CUDA op
+    package, and — for content_aware_pruning — the BiSeNet import, which the
+    pipeline tests never call)."""
+    key = f"Util.{name}"
+    if key in _cache:
+        return _cache[key]
+    load_reference_model()  # installs the 'op' shim
+    tv = sys.modules.get("torchvision")
+    if tv is None:
+        tv = types.ModuleType("torchvision")
+        sys.modules["torchvision"] = tv
+    for sub in ("utils", "transforms"):
+        if not hasattr(tv, sub):
+            mod = types.ModuleType(f"torchvision.{sub}")
+            if sub == "transforms":
+                mod.Compose = lambda ts: ts
+                mod.ToTensor = lambda: None
+                mod.Normalize = lambda *a, **k: None
+            setattr(tv, sub, mod)
+            sys.modules[f"torchvision.{sub}"] = mod
+    sys.modules.setdefault("model", load_reference_model())
+    if "Util" not in sys.modules:
+        util_pkg = types.ModuleType("Util")
+        util_pkg.__path__ = [f"{REFERENCE}/Util"]
+        sys.modules["Util"] = util_pkg
+    if "Util.face_parsing.BiSeNet" not in sys.modules:
+        # content_aware_pruning imports BiSeNet at module top; the scoring
+        # functions under test never construct it.
+        fp_pkg = types.ModuleType("Util.face_parsing")
+        fp_pkg.__path__ = [f"{REFERENCE}/Util/face_parsing"]
+        sys.modules["Util.face_parsing"] = fp_pkg
+        bn = types.ModuleType("Util.face_parsing.BiSeNet")
+        bn.BiSeNet = type("BiSeNet", (), {})
+        sys.modules["Util.face_parsing.BiSeNet"] = bn
+    # deps between Util modules (content_aware_pruning -> network_util, etc.)
+    order = {"content_aware_pruning": ["network_util"],
+             "pruning_util": ["network_util", "pruning_metrics"],
+             "mask_util": ["network_util"]}
+    for dep in order.get(name, []):
+        load_reference_util(dep)
+    spec = importlib.util.spec_from_file_location(
+        key, f"{REFERENCE}/Util/{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[key] = mod
+    spec.loader.exec_module(mod)
+    _cache[key] = mod
+    return mod
+
+
 def load_reference_model():
     """Import /root/reference/model.py with the CPU op shim. Returns module."""
     if "model" in _cache:
