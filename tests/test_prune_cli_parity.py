@@ -126,9 +126,10 @@ def test_prune_pipeline_selects_identical_channels(gen_params):
         mask_the_generator(gen_params, masks_jax))
     for key, val in pruned_ref.items():
         if key not in pruned_jax:
-            # constant FIR blur buffers exist only in the torch state dict
-            # (our functional design derives them from the config)
-            assert "blur.kernel" in key or key.startswith("noises."), key
+            # constant FIR buffers (blur.kernel, to_rgbs.N.upsample.kernel)
+            # exist only in the torch state dict (our functional design
+            # derives them from the config)
+            assert key.endswith(".kernel") or key.startswith("noises."), key
             continue
         np.testing.assert_allclose(
             pruned_jax[key], val.numpy(), rtol=1e-6, atol=1e-6,
