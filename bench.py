@@ -54,6 +54,13 @@ def main():
                         choices=["retrain", "generate"],
                         help="retrain iters/s (default) or generation "
                              "images/s/chip for the pruned student")
+    parser.add_argument("--steps_per_dispatch", type=int, default=16,
+                        help="iterations fused into one lax.scan dispatch "
+                             "(train.steps.make_multi_step); 1 = the "
+                             "separate-step path. The device does the same "
+                             "work either way; K>1 amortizes the ~35 ms/iter "
+                             "host dispatch cost of >800-leaf pytrees on a "
+                             "1-core host")
     args = parser.parse_args()
 
     import jax
@@ -138,6 +145,42 @@ def main():
         jax.random.PRNGKey(9), (args.batch_size, 3, args.size, args.size)))
     mpl = jnp.asarray(0.0)
 
+    if args.steps_per_dispatch > 1:
+        from content_aware_gan_compression_tpu.parallel import (
+            shard_stacked_batches)
+        from content_aware_gan_compression_tpu.train import make_multi_step
+
+        K = args.steps_per_dispatch
+        multi = jax.jit(
+            partial(make_multi_step(g_config, d_config, cfg,
+                                    teacher_config=t_config, dtype=dtype),
+                    d_opt=d_opt, g_opt=g_opt),
+            donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+        reals = shard_stacked_batches(mesh, jnp.broadcast_to(
+            real, (K,) + real.shape))
+        state = (g_params, g_opt_state, d_params, d_opt_state, g_ema, mpl,
+                 rng)
+        last_reg = (0.0, 0.0, 0.0)
+        it = 0
+        # warm TWO dispatches: reg steps re-specialize when they first
+        # consume step-produced buffer layouts (see --warmup note above)
+        for _ in range(max(2, -(-args.warmup // K))):
+            *state, last_reg, m = multi(*state, reals, it, last_reg,
+                                        t_params, None, None)
+            it += K
+            float(m["g"][-1])
+        n_disp = max(1, args.iters // K)
+        t0 = time.perf_counter()
+        for _ in range(n_disp):
+            *state, last_reg, m = multi(*state, reals, it, last_reg,
+                                        t_params, None, None)
+            it += K
+        float(m["g"][-1])
+        dt = time.perf_counter() - t0
+        iters_per_sec = n_disp * K / dt
+        _report(args, cfg, iters_per_sec, g_config, t_config)
+        return
+
     def one_iter(i, g_params, d_params, g_opt_state, d_opt_state, g_ema, mpl,
                  rng):
         """Mirror Trainer.step exactly: fused D+G single jit on iterations
@@ -187,6 +230,12 @@ def main():
               file=sys.stderr)
 
     iters_per_sec = args.iters / dt
+    _report(args, cfg, iters_per_sec, g_config, t_config)
+
+
+def _report(args, cfg, iters_per_sec, g_config, t_config):
+    import jax
+    from content_aware_gan_compression_tpu.models import generator_init
 
     # MFU: per-iteration MACs from the reference-formula calculators
     # (utils/calculators.py), standard 1x/3x fwd/bwd multipliers, over the

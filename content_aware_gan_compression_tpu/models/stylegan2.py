@@ -522,6 +522,7 @@ def generator_apply(
     precision=None,
     dtype=None,
     remat: bool = False,
+    output_format: str = "NCHW",
 ):
     """Generator forward (reference Generator.forward, model.py:545-666).
 
@@ -541,8 +542,14 @@ def generator_apply(
         in their stored dtype and are cast at use.
 
     Returns NCHW images in [-1, 1]-ish range (training decides the range).
+    output_format="NHWC" skips the torch-parity transpose — synthesis is
+    NHWC-native, so in-loop consumers (discriminator_apply data_format=
+    "NHWC", layout-agnostic losses) avoid two C=3 layout round-trips per
+    image, which the TPU tiles at 3/128 lane occupancy.
     """
     cfg = config
+    to_out = ((lambda x: x) if output_format == "NHWC"
+              else (lambda x: jnp.transpose(x, (0, 3, 1, 2))))
 
     if not input_is_latent:
         styles = [_style_mlp(params, cfg, z, dtype) for z in noise_z]
@@ -598,16 +605,16 @@ def generator_apply(
         (grad,) = vjp_fn(y)
         path_lengths = jnp.sqrt(
             jnp.mean(jnp.sum(jnp.square(grad.astype(jnp.float32)), axis=2), axis=1))
-        return jnp.transpose(image, (0, 3, 1, 2)), path_lengths
+        return to_out(image), path_lengths
 
     image, rgb_list, styles_list = _synthesis(
         params, cfg, latent, noise, precision=precision, dtype=dtype,
         return_style_scalars=return_style_scalars, remat=remat)
 
     if return_rgb_list:
-        returns = [jnp.transpose(r, (0, 3, 1, 2)) for r in rgb_list]
+        returns = [to_out(r) for r in rgb_list]
     else:
-        returns = jnp.transpose(image, (0, 3, 1, 2))
+        returns = to_out(image)
     if return_style_scalars:
         returns = (returns, styles_list)
     if return_latents:
@@ -792,10 +799,13 @@ def _minibatch_stddev(x_nhwc, group_size, stddev_feat):
     return jnp.concatenate([x_nhwc, std.astype(x_nhwc.dtype)], axis=-1)
 
 
-def discriminator_apply(params: Params, config: DiscriminatorConfig, image_nchw,
-                        *, precision=None, dtype=None):
-    """Discriminator forward (reference model.py:780-798). Input NCHW."""
-    x = jnp.transpose(image_nchw, (0, 2, 3, 1))
+def discriminator_apply(params: Params, config: DiscriminatorConfig, image,
+                        *, precision=None, dtype=None,
+                        data_format: str = "NCHW"):
+    """Discriminator forward (reference model.py:780-798). Input NCHW by
+    default; data_format="NHWC" consumes the TPU-native layout directly
+    (the network is NHWC-internal either way)."""
+    x = image if data_format == "NHWC" else jnp.transpose(image, (0, 2, 3, 1))
     if dtype is not None:
         x = x.astype(dtype)
     bk = config.blur_kernel

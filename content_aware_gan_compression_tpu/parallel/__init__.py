@@ -10,6 +10,7 @@ from .mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    shard_stacked_batches,
     replicate,
     local_mesh_devices,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "shard_stacked_batches",
     "replicate",
     "local_mesh_devices",
 ]

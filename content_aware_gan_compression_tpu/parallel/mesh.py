@@ -59,6 +59,13 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def shard_stacked_batches(mesh: Mesh, tree):
+    """device_put [K, B, ...] stacked-batch arrays sharded on the SECOND
+    (batch) dim — the input layout of train.steps.make_multi_step."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
 def replicate(mesh: Mesh, tree):
     sh = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

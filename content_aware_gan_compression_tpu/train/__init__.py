@@ -9,7 +9,8 @@ from .losses import (
     g_nonsaturating_loss,
     kd_loss,
 )
-from .steps import make_train_steps, ema_accumulate, make_optimizers
+from .steps import (make_train_steps, make_multi_step, ema_accumulate,
+                    make_optimizers)
 
 __all__ = [
     "TrainConfig",
@@ -19,6 +20,7 @@ __all__ = [
     "g_nonsaturating_loss",
     "kd_loss",
     "make_train_steps",
+    "make_multi_step",
     "ema_accumulate",
     "make_optimizers",
 ]

@@ -28,7 +28,8 @@ from ..utils.checkpoint import (
 )
 from ..utils.logging import ExperimentLogger, save_image_grid
 from .config import TrainConfig
-from .steps import make_train_steps, make_optimizers, ema_accumulate
+from .steps import (make_train_steps, make_multi_step, make_optimizers,
+                    ema_accumulate)
 
 
 def _opt_state_to_tree(state):
@@ -175,15 +176,25 @@ class Trainer:
             partial(dg_step, d_opt=self.d_opt, g_opt=self.g_opt),
             donate_argnums=(0, 1, 2, 3))
         self._ema = jax.jit(ema_accumulate, donate_argnums=(0,))
+        # K-iterations-per-dispatch scan (full reg cadence inside via
+        # lax.cond); the loop enters it on aligned event-free windows
+        self._multi_step = None
+        if cfg.steps_per_dispatch > 1:
+            self._multi_step = jax.jit(
+                partial(make_multi_step(
+                    self.g_config, d_config, cfg,
+                    teacher_config=self.teacher_config, dtype=self.dtype),
+                    d_opt=self.d_opt, g_opt=self.g_opt),
+                donate_argnums=(0, 1, 2, 3, 4, 5, 6))
         # val-sample grids: jitted — eager per-op dispatch is pathological
         # through the tunneled relay (one RTT per op)
         self._sample_fn = jax.jit(lambda p, z, k: generator_apply(
             p, self.g_config, [z], rng=k))
-        # uint8 HWC batches travel host->device 4x smaller; normalize + CHW
-        # on device
+        # uint8 HWC batches travel host->device 4x smaller; normalize on
+        # device, staying NHWC (the train steps are layout-aware, so the
+        # wire path pays zero C=3 transposes)
         self._prep = jax.jit(
-            lambda x: jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)
-            / 127.5 - 1.0)
+            lambda x: x.astype(jnp.float32) / 127.5 - 1.0)
 
         # replicate state over the mesh
         self.g_params = replicate(self.mesh, self.g_params)
@@ -264,6 +275,28 @@ class Trainer:
                      "net_shape": list(self.g_config.net_shape)})
         return path
 
+    def step_window(self, iter0: int, reals_stacked, mean_path_length,
+                    last_reg):
+        """K reference iterations in one dispatch (make_multi_step); returns
+        ({name: [K] array} metrics, mpl, last_reg). reals_stacked comes from
+        put_window()."""
+        self.rng, k = random.split(self.rng)
+        (self.g_params, self.g_opt_state, self.d_params, self.d_opt_state,
+         self.g_ema_params, mean_path_length, _, last_reg, metrics) = \
+            self._multi_step(
+                self.g_params, self.g_opt_state, self.d_params,
+                self.d_opt_state, self.g_ema_params, mean_path_length, k,
+                reals_stacked, iter0, last_reg, self.teacher_params,
+                self.lpips_params, self.parse_params)
+        return metrics, mean_path_length, last_reg
+
+    def put_window(self, loader, k_steps: int):
+        """Async upload of K stacked batches for step_window (uint8 wire)."""
+        from ..parallel import shard_stacked_batches
+
+        stack = np.stack([next(loader) for _ in range(k_steps)])
+        return shard_stacked_batches(self.mesh, jnp.asarray(stack))
+
     def run(self, *, max_iters: int | None = None, logger=None,
             data_seed=None):
         cfg = self.cfg
@@ -296,6 +329,21 @@ class Trainer:
             last_metrics["mean_path_avg"] = float(vals[-1])
             logger.log_iteration(p_idx, time.time() - p_t0, last_metrics)
 
+        def flush_window(pending_w):
+            """Fetch + log a window's K stacked per-iteration metrics with
+            ONE packed transfer."""
+            i0, w_t0, w_metrics = pending_w
+            keys = sorted(k for k in w_metrics if k != "mean_path")
+            vals = np.asarray(jnp.stack(
+                [w_metrics[k] for k in keys] + [w_metrics["mean_path"]]))
+            k_steps = vals.shape[1]
+            per_iter = (time.time() - w_t0) / k_steps
+            for j in range(k_steps):
+                last_metrics.update(
+                    {k: float(v) for k, v in zip(keys, vals[:, j])})
+                last_metrics["mean_path_avg"] = float(vals[-1, j])
+                logger.log_iteration(i0 + j, per_iter, last_metrics)
+
         pending = None
         fid_eval = None
 
@@ -313,66 +361,116 @@ class Trainer:
                     f"{fid_eval.extra_seconds:.1f}s\n")
                 fid_eval = None
 
+        def do_events(iter_idx):
+            if iter_idx % cfg.val_sample_freq == 0:
+                self.rng, k_noise = random.split(self.rng)
+                sample = self._sample_fn(self.g_ema_params, sample_z,
+                                         k_noise)
+                save_image_grid(
+                    sample,
+                    os.path.join(logger.sample_dir,
+                                 f"{str(iter_idx).zfill(6)}.png"),
+                    nrow=int(cfg.val_sample_num ** 0.5))
+
+            if iter_idx % cfg.model_save_freq == 0 and iter_idx > 0:
+                nonlocal fid_eval
+                if (self.inception_params is not None
+                        and self.real_stats is not None):
+                    if cfg.fid_overlap:
+                        # start an overlapped eval on a g_ema snapshot;
+                        # batches interleave with the coming iterations
+                        from ..evaluation import OverlappedFIDEval
+
+                        if fid_eval is not None:  # drain a straggler
+                            fid_tick(10 ** 9)
+                        self.rng, k_fid = random.split(self.rng)
+                        fid_eval = OverlappedFIDEval(
+                            self.g_ema_params, self.g_config,
+                            self.inception_params, self.real_stats,
+                            batch_size=cfg.fid_batch,
+                            n_sample=cfg.fid_n_sample, rng=k_fid,
+                            mesh=self.mesh)
+                    else:
+                        from ..evaluation import get_model_fid_score
+                        fid = get_model_fid_score(
+                            self.g_ema_params, self.g_config,
+                            self.inception_params, self.real_stats,
+                            batch_size=cfg.fid_batch,
+                            num_sample=cfg.fid_n_sample, mesh=self.mesh)
+                        logger.log_fid(fid)
+                self.save(logger, iter_idx)
+
+        def is_event(j):
+            return (j % cfg.val_sample_freq == 0
+                    or (j % cfg.model_save_freq == 0 and j > 0))
+
+        K = cfg.steps_per_dispatch
+
+        def window_ok(i):
+            """A K-window starting at i is usable when any event inside it
+            falls on its LAST iteration (events run after the dispatch)."""
+            if self._multi_step is None or i + K > end:
+                return False
+            return not any(is_event(j) for j in range(i, i + K - 1))
+
+        last_reg = (0.0, 0.0, 0.0)
+        pending_w = None
         try:
-            real = self.put_batch(next(loader))  # prime the prefetch queue
-            for iter_idx in range(self.start_iter, end):
+            iter_idx = self.start_iter
+            real = window = None
+            if window_ok(iter_idx):
+                window = self.put_window(loader, K)   # prime the prefetch
+            else:
+                real = self.put_batch(next(loader))
+            while iter_idx < end:
                 t0 = time.time()
-                metrics, mean_path_length = self.step(
-                    iter_idx, real, mean_path_length)
-                if iter_idx + 1 < end:
-                    # async upload of the NEXT batch while this step runs
-                    real = self.put_batch(next(loader))
-                # a few FID feature batches ride the same device stream
-                fid_tick(cfg.fid_batches_per_iter)
-                if pending is not None:
-                    flush(pending)
-                pending = (iter_idx, t0, metrics, mean_path_length)
-
-                # periodic events sync the device anyway — flush first so the
-                # log lines stay in iteration order around sample/FID/ckpt
-                if (iter_idx % cfg.val_sample_freq == 0
-                        or (iter_idx % cfg.model_save_freq == 0
-                            and iter_idx > 0)):
-                    flush(pending)
-                    pending = None
-
-                if iter_idx % cfg.val_sample_freq == 0:
-                    self.rng, k_noise = random.split(self.rng)
-                    sample = self._sample_fn(self.g_ema_params, sample_z,
-                                             k_noise)
-                    save_image_grid(
-                        sample,
-                        os.path.join(logger.sample_dir,
-                                     f"{str(iter_idx).zfill(6)}.png"),
-                        nrow=int(cfg.val_sample_num ** 0.5))
-
-                if iter_idx % cfg.model_save_freq == 0 and iter_idx > 0:
-                    if (self.inception_params is not None
-                            and self.real_stats is not None):
-                        if cfg.fid_overlap:
-                            # start an overlapped eval on a g_ema snapshot;
-                            # batches interleave with the coming iterations
-                            from ..evaluation import OverlappedFIDEval
-
-                            if fid_eval is not None:  # drain a straggler
-                                fid_tick(10 ** 9)
-                            self.rng, k_fid = random.split(self.rng)
-                            fid_eval = OverlappedFIDEval(
-                                self.g_ema_params, self.g_config,
-                                self.inception_params, self.real_stats,
-                                batch_size=cfg.fid_batch,
-                                n_sample=cfg.fid_n_sample, rng=k_fid,
-                                mesh=self.mesh)
-                        else:
-                            from ..evaluation import get_model_fid_score
-                            fid = get_model_fid_score(
-                                self.g_ema_params, self.g_config,
-                                self.inception_params, self.real_stats,
-                                batch_size=cfg.fid_batch,
-                                num_sample=cfg.fid_n_sample, mesh=self.mesh)
-                            logger.log_fid(fid)
-                    self.save(logger, iter_idx)
+                if window is not None:
+                    i0 = iter_idx
+                    metricsK, mean_path_length, last_reg = self.step_window(
+                        i0, window, mean_path_length, last_reg)
+                    iter_idx += K
+                    window = real = None
+                    if window_ok(iter_idx):        # prefetch next window
+                        window = self.put_window(loader, K)
+                    elif iter_idx < end:
+                        real = self.put_batch(next(loader))
+                    fid_tick(cfg.fid_batches_per_iter * K)
+                    if pending is not None:
+                        flush(pending)
+                        pending = None
+                    if pending_w is not None:      # overlapped by this window
+                        flush_window(pending_w)
+                    pending_w = (i0, t0, metricsK)
+                    if is_event(iter_idx - 1):
+                        # event needs in-order logs + synced state anyway
+                        flush_window(pending_w)
+                        pending_w = None
+                        do_events(iter_idx - 1)
+                else:
+                    metrics, mean_path_length = self.step(
+                        iter_idx, real, mean_path_length)
+                    iter_idx += 1
+                    real = None
+                    if window_ok(iter_idx):
+                        window = self.put_window(loader, K)
+                    elif iter_idx < end:
+                        real = self.put_batch(next(loader))
+                    fid_tick(cfg.fid_batches_per_iter)
+                    if pending_w is not None:
+                        flush_window(pending_w)
+                        pending_w = None
+                    if pending is not None:
+                        flush(pending)
+                    pending = (iter_idx - 1, t0, metrics, mean_path_length)
+                    # periodic events sync the device anyway — flush first so
+                    # the log lines stay in order around sample/FID/ckpt
+                    if is_event(iter_idx - 1):
+                        flush(pending)
+                        pending = None
+                        do_events(iter_idx - 1)
             fid_tick(10 ** 9)  # drain any in-flight eval before returning
+            if pending_w is not None:
+                flush_window(pending_w)
             if pending is not None:
                 flush(pending)
         finally:

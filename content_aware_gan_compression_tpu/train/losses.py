@@ -44,6 +44,7 @@ def kd_loss(
     fake_img, fake_img_list, teacher_img_list, *,
     kd_l1_lambda, kd_lpips_lambda, kd_mode, size,
     lpips_params=None, parse_fn=None, lpips_image_size=256,
+    data_format="NCHW",
 ):
     """Content-masked knowledge distillation (reference KD_loss,
     train.py:145-184): L1 between (COI-masked) student/teacher images —
@@ -52,15 +53,30 @@ def kd_loss(
 
     The teacher's parsing defines the mask for BOTH images; gradients flow
     only through the student (teacher tensors arrive stop-gradiented)."""
-    fake_img_teacher = teacher_img_list[-1]
+    # L1 is layout-agnostic; the aux nets (BiSeNet parsing, LPIPS) are
+    # NCHW, so NHWC callers (the TPU-native train steps) only pay a C=3
+    # transpose when those nets are actually active. Everything past this
+    # point is NCHW, exactly as the reference computes it.
+    def to_nchw(x):
+        return (jnp.transpose(x, (0, 3, 1, 2)) if data_format == "NHWC"
+                else x)
+
+    fake_img_teacher = to_nchw(teacher_img_list[-1])
 
     if parse_fn is not None:
+        fake_img = to_nchw(fake_img)
         teacher_parsing = batch_img_parsing(fake_img_teacher, parse_fn)
         fake_img_teacher = get_masked_tensor(fake_img_teacher, teacher_parsing)
         fake_img = get_masked_tensor(fake_img, teacher_parsing)
 
     if kd_mode == "Output_Only":
-        kd_l1 = kd_l1_lambda * jnp.mean(jnp.abs(fake_img_teacher - fake_img))
+        if parse_fn is None:
+            # unmasked L1 is layout-agnostic: no transpose needed
+            kd_l1 = kd_l1_lambda * jnp.mean(jnp.abs(
+                teacher_img_list[-1] - fake_img))
+        else:
+            kd_l1 = kd_l1_lambda * jnp.mean(jnp.abs(
+                fake_img_teacher - fake_img))
     elif kd_mode == "Intermediate":
         # NB (parity): like the reference (train.py:165-169), the rgb-list L1
         # uses UNMASKED intermediate images, and the loop there rebinds
@@ -69,14 +85,15 @@ def kd_loss(
         losses = [jnp.mean(jnp.abs(t - s))
                   for t, s in zip(teacher_img_list, fake_img_list)]
         kd_l1 = kd_l1_lambda * sum(losses)
-        fake_img_teacher = teacher_img_list[-1]
+        fake_img_teacher = to_nchw(teacher_img_list[-1])
     else:
         raise ValueError(f"unknown kd_mode {kd_mode!r}")
 
     if lpips_params is None:
         kd_lpips = jnp.asarray(0.0, fake_img.dtype)
     else:
-        a, b = fake_img, fake_img_teacher
+        a = fake_img if parse_fn is not None else to_nchw(fake_img)
+        b = fake_img_teacher
         if size > lpips_image_size:
             a, b = _downsample_256(a), _downsample_256(b)
         kd_lpips = kd_lpips_lambda * jnp.mean(lpips_apply(lpips_params, a, b))

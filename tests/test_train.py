@@ -173,3 +173,34 @@ def test_in_loop_fid_and_checkpoint(data_dir, ckpt_paths, tmp_path):
     content = open(os.path.join(logger.exp_dir, log_file)).read()
     assert "Evaluated FID:" in content
     assert os.path.exists(os.path.join(logger.ckpt_dir, "000002.npz"))
+
+
+def test_trainer_windowed_dispatch(data_dir, ckpt_paths, tmp_path):
+    """steps_per_dispatch>1: the loop must fuse event-free windows into one
+    scan dispatch, fall back to single steps around events, keep one log
+    line per iteration, and land sample grids on the reference cadence."""
+    student, teacher = ckpt_paths
+    cfg = make_cfg(data_dir, student, teacher, steps_per_dispatch=4,
+                   val_sample_freq=4)
+    trainer = Trainer(cfg, exp_root=str(tmp_path))
+    logger = ExperimentLogger(str(tmp_path), name="windowed")
+    g_before = np.asarray(
+        trainer.g_params["conv1"]["conv"]["weight"]).copy()
+
+    # iter 0 single (event at 0), windows [1..4] and [5..8] (events at 4, 8
+    # on window ends), iter 9 single (end boundary)
+    trainer.run(max_iters=10, logger=logger)
+
+    g_after = np.asarray(trainer.g_params["conv1"]["conv"]["weight"])
+    assert not np.allclose(g_before, g_after)
+    assert np.isfinite(g_after).all()
+
+    log_files = [f for f in os.listdir(logger.exp_dir)
+                 if f.endswith("_training_log.out")]
+    lines = [ln for ln in open(
+        os.path.join(logger.exp_dir, log_files[0])).read().splitlines()
+        if "D_Loss:" in ln]
+    assert len(lines) == 10, f"expected 10 iteration lines, got {len(lines)}"
+    for it in (0, 4, 8):
+        assert os.path.exists(
+            os.path.join(logger.sample_dir, f"{it:06d}.png")), it

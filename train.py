@@ -54,6 +54,11 @@ def main():
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--steps_per_dispatch", type=int,
+                        default=hp.steps_per_dispatch,
+                        help="fuse K iterations (regularizer cadence "
+                             "included) into one lax.scan dispatch; "
+                             "amortizes host dispatch overhead")
     parser.add_argument("--parsing_ckpt", type=str,
                         default="./Model/face_parsing/79999_iter.pth")
     parser.add_argument("--lpips_vgg_ckpt", type=str,
@@ -82,7 +87,8 @@ def main():
         teacher=args.teacher_ckpt, kd_l1_lambda=args.kd_l1_lambda,
         kd_lpips_lambda=args.kd_lpips_lambda, kd_mode=args.kd_mode,
         content_aware_KD=args.content_aware_KD, seed=args.seed,
-        compute_dtype=args.dtype, n_devices=args.n_devices)
+        compute_dtype=args.dtype, n_devices=args.n_devices,
+        steps_per_dispatch=args.steps_per_dispatch)
 
     import jax
 
