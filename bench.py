@@ -25,6 +25,8 @@ from functools import partial
 import numpy as np
 
 REFERENCE_ITERS_PER_SEC = 450000 / (131 * 3600)  # 2x V100, README.md:110-115
+# 1024px retrain: 450k iters in 251 h on 4x V100 (reference README.md:110-115)
+REFERENCE_ITERS_PER_SEC_1024 = 450000 / (251 * 3600)
 
 
 def main():
@@ -260,11 +262,14 @@ def _report(args, cfg, iters_per_sec, g_config, t_config):
     PEAK_TFLOPS = float(os.environ.get("CAGC_PEAK_TFLOPS", "197"))  # v5e bf16
     mfu = (per_iter_macs * 2 * iters_per_sec) / (PEAK_TFLOPS * 1e12)
 
+    ref_rate = (REFERENCE_ITERS_PER_SEC_1024 if args.size == 1024
+                else REFERENCE_ITERS_PER_SEC)
     print(json.dumps({
-        "metric": "retrain_iters_per_sec",
+        "metric": ("retrain_iters_per_sec" if args.size == 256
+                   else f"retrain_iters_per_sec_{args.size}px"),
         "value": round(iters_per_sec, 4),
         "unit": "iter/s",
-        "vs_baseline": round(iters_per_sec / REFERENCE_ITERS_PER_SEC, 4),
+        "vs_baseline": round(iters_per_sec / ref_rate, 4),
         "mfu": round(mfu, 4),
     }))
 
