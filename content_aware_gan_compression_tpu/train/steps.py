@@ -15,6 +15,7 @@ and the no-mixing case is inject_index == n_latent (all layers take latent
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -28,14 +29,62 @@ from .losses import d_logistic_loss, g_nonsaturating_loss, kd_loss
 from .config import TrainConfig, LPIPS_IMAGE_SIZE
 
 
+class ScaleByAdamNoMuState(NamedTuple):
+    """Adam state for the b1 == 0 special case: no first-moment buffer."""
+    count: jnp.ndarray
+    nu: optax.Updates
+
+
+def scale_by_adam_no_mu(b2: float, eps: float = 1e-8):
+    """optax.scale_by_adam specialized to b1 == 0 — EXACT same math.
+
+    The reference's betas are (0**reg_ratio, 0.99**reg_ratio)
+    (train.py:528-537), and 0**r == 0 for every reg ratio, so Adam's first
+    moment is mu_t = (1-0)*g = g and its bias correction divides by
+    1 - 0**t = 1: the update is g / (sqrt(nu_hat) + eps) with NO dependence
+    on a stored mu. Dropping the buffer removes a full param-tree read+write
+    from the weight-update phase — which the round-2 trace measured as
+    HBM-bound (540-660 GB/s) — and a third of the optimizer-state memory,
+    with bit-identical updates (tests/test_train_steps.py asserts equality
+    vs optax.adam(b1=0)).
+    """
+
+    def init_fn(params):
+        nu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return ScaleByAdamNoMuState(count=jnp.zeros([], jnp.int32), nu=nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        # expressions mirror optax's update_moment_per_elem_norm /
+        # bias_correction so the specialization stays bit-identical
+        nu = jax.tree_util.tree_map(
+            lambda g, v: (1.0 - b2) * jnp.square(g) + b2 * v,
+            updates, state.nu)
+        count = optax.safe_int32_increment(state.count)
+        bc2 = 1.0 - b2 ** count
+        out = jax.tree_util.tree_map(
+            lambda g, v: g / (jnp.sqrt(v / bc2.astype(v.dtype)) + eps),
+            updates, nu)
+        return out, ScaleByAdamNoMuState(count=count, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _reg_ratio_adam(lr: float, ratio: float):
+    b1, b2 = 0.0 ** ratio, 0.99 ** ratio
+    if b1 == 0.0:
+        return optax.chain(scale_by_adam_no_mu(b2=b2),
+                           optax.scale(-lr * ratio))
+    return optax.adam(lr * ratio, b1=b1, b2=b2, eps=1e-8)
+
+
 def make_optimizers(cfg: TrainConfig):
     """Reg-ratio-scaled Adam pair (reference train.py:528-537):
-    lr * ratio, betas (0^ratio, 0.99^ratio)."""
-    g_r, d_r = cfg.g_reg_ratio, cfg.d_reg_ratio
-    g_opt = optax.adam(cfg.init_lr * g_r, b1=0.0 ** g_r, b2=0.99 ** g_r,
-                       eps=1e-8)
-    d_opt = optax.adam(cfg.init_lr * d_r, b1=0.0 ** d_r, b2=0.99 ** d_r,
-                       eps=1e-8)
+    lr * ratio, betas (0^ratio, 0.99^ratio). b1 is exactly 0 for every reg
+    ratio, so the mu-free specialization (scale_by_adam_no_mu) applies —
+    exact math, one less state buffer."""
+    g_opt = _reg_ratio_adam(cfg.init_lr, cfg.g_reg_ratio)
+    d_opt = _reg_ratio_adam(cfg.init_lr, cfg.d_reg_ratio)
     return g_opt, d_opt
 
 

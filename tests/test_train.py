@@ -125,6 +125,42 @@ def test_save_and_resume(data_dir, ckpt_paths, tmp_path):
                                                       name="resume_test2"))
 
 
+def test_adam_no_mu_bit_identical_to_optax_adam():
+    """The reference betas are (0**ratio, 0.99**ratio) => b1 == 0 exactly, so
+    the mu-free Adam specialization (steps.py:scale_by_adam_no_mu) must
+    produce bit-identical updates to optax.adam with b1=0 — it is a memory
+    optimization, not a numerics change."""
+    import optax
+    from content_aware_gan_compression_tpu.train.steps import _reg_ratio_adam
+
+    for ratio in (4 / 5, 16 / 17):
+        lr, b2 = 0.002, 0.99 ** ratio
+        ours = _reg_ratio_adam(lr, ratio)
+        ref = optax.adam(lr * ratio, b1=0.0, b2=b2, eps=1e-8)
+        params = {"w": jnp.asarray(np.random.RandomState(0).randn(7, 5),
+                                   jnp.float32),
+                  "b": jnp.asarray(np.random.RandomState(1).randn(5),
+                                   jnp.float32)}
+        s_ours, s_ref = ours.init(params), ref.init(params)
+        # no mu buffer in our state: exactly one array leaf per param + count
+        n_param = len(jax.tree_util.tree_leaves(params))
+        assert len(jax.tree_util.tree_leaves(s_ours)) == n_param + 1
+        assert len(jax.tree_util.tree_leaves(s_ref)) == 2 * n_param + 1
+        p_ours = p_ref = params
+        for i in range(4):
+            g = jax.tree_util.tree_map(
+                lambda p, i=i: jnp.asarray(
+                    np.random.RandomState(10 + i).randn(*p.shape), p.dtype),
+                params)
+            u1, s_ours = ours.update(g, s_ours, p_ours)
+            u2, s_ref = ref.update(g, s_ref, p_ref)
+            p_ours = optax.apply_updates(p_ours, u1)
+            p_ref = optax.apply_updates(p_ref, u2)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ours),
+                        jax.tree_util.tree_leaves(p_ref)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_ema_accumulate_math():
     a = {"w": jnp.ones((3,))}
     b = {"w": jnp.zeros((3,))}
