@@ -264,12 +264,16 @@ def _report(args, cfg, iters_per_sec, g_config, t_config):
 
     ref_rate = (REFERENCE_ITERS_PER_SEC_1024 if args.size == 1024
                 else REFERENCE_ITERS_PER_SEC)
+    # vs_baseline compares IMAGES/s of the whole job: the reference rates are
+    # at global batch 16 (README.md:110-115), so a run at a different batch
+    # size is scaled by B/16 — raw iteration rates at unequal batch sizes
+    # are not comparable.
     print(json.dumps({
         "metric": ("retrain_iters_per_sec" if args.size == 256
                    else f"retrain_iters_per_sec_{args.size}px"),
         "value": round(iters_per_sec, 4),
         "unit": "iter/s",
-        "vs_baseline": round(iters_per_sec / ref_rate, 4),
+        "vs_baseline": round(iters_per_sec * B / (ref_rate * 16), 4),
         "mfu": round(mfu, 4),
     }))
 

@@ -55,11 +55,13 @@ class TrainConfig:
     # the full 50k-sample pass like the reference (train.py:436-441)
     fid_overlap: bool = True
     fid_batches_per_iter: int = 2
-    # >1 fuses K iterations (full regularizer cadence included, via lax.cond
-    # on the iteration index) into ONE lax.scan dispatch — amortizes the
+    # fuse K iterations (full regularizer cadence included, via lax.cond on
+    # the iteration index) into ONE lax.scan dispatch — amortizes the
     # per-dispatch host cost of flattening >800-leaf pytrees, which dominates
-    # wall time on slow/tunneled hosts (train/steps.py:make_multi_step)
-    steps_per_dispatch: int = 1
+    # wall time on slow/tunneled hosts (train/steps.py:make_multi_step). The
+    # loop automatically falls back to single steps around sample/checkpoint
+    # boundaries and short runs; 1 disables the fused path entirely.
+    steps_per_dispatch: int = 16
 
     @property
     def g_reg_ratio(self) -> float:
