@@ -801,10 +801,16 @@ def _minibatch_stddev(x_nhwc, group_size, stddev_feat):
 
 def discriminator_apply(params: Params, config: DiscriminatorConfig, image,
                         *, precision=None, dtype=None,
-                        data_format: str = "NCHW"):
+                        data_format: str = "NCHW", remat: bool = False):
     """Discriminator forward (reference model.py:780-798). Input NCHW by
     default; data_format="NHWC" consumes the TPU-native layout directly
-    (the network is NHWC-internal either way)."""
+    (the network is NHWC-internal either way).
+
+    remat=True wraps each res-block in jax.checkpoint. This is what makes
+    the R1 regularizer fit at 1024px: its grad-of-grad otherwise stores
+    linearization residuals for every full-width D layer, and the low-C
+    high-res ones ([B,1024,1024,32] bf16) pad 4x on the lane dim — the
+    batch-4 OOM breakdown was dominated by exactly those buffers."""
     x = image if data_format == "NHWC" else jnp.transpose(image, (0, 2, 3, 1))
     if dtype is not None:
         x = x.astype(dtype)
@@ -812,8 +818,15 @@ def discriminator_apply(params: Params, config: DiscriminatorConfig, image,
 
     x = _conv_layer(params["convs"]["0"], x, 1, blur_kernel=bk, precision=precision)
     n_blocks = len(params["convs"]) - 1
+    block = _res_block
+    if remat:
+        block = jax.checkpoint(
+            lambda p, x: _res_block(p, x, bk, precision=precision))
     for i in range(1, n_blocks + 1):
-        x = _res_block(params["convs"][str(i)], x, bk, precision=precision)
+        if remat:
+            x = block(params["convs"][str(i)], x)
+        else:
+            x = _res_block(params["convs"][str(i)], x, bk, precision=precision)
 
     x = _minibatch_stddev(x, config.stddev_group, config.stddev_feat)
     x = _conv_layer(params["final_conv"], x, 3, blur_kernel=bk, precision=precision)

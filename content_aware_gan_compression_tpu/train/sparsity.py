@@ -140,7 +140,7 @@ class SparsityTrainer(Trainer):
                 fake_list = [f.astype(jnp.float32) for f in fake_list]
                 fake_img = fake_list[-1]
                 fake_pred = discriminator_apply(d_params, d_config, fake_img,
-                                                dtype=dtype)
+                                                dtype=dtype, remat=cfg.remat)
                 g_loss = g_nonsaturating_loss(fake_pred.astype(jnp.float32))
                 style_list = [s.astype(jnp.float32) for s in style_list]
                 sparse = l1_style_sparse_loss(style_list, opts["sparsity_eta"])

@@ -151,9 +151,11 @@ def make_train_steps(
             # stays. A plain concat would NOT be equivalent: the stride-B//4
             # stddev groups would mix fake and real samples.
             fake_pred = discriminator_apply(dp, d_config, fake_img,
-                                            dtype=dtype, data_format="NHWC")
+                                            dtype=dtype, data_format="NHWC",
+                                            remat=cfg.remat)
             real_pred = discriminator_apply(dp, d_config, real_nhwc,
-                                            dtype=dtype, data_format="NHWC")
+                                            dtype=dtype, data_format="NHWC",
+                                            remat=cfg.remat)
             loss = d_logistic_loss(real_pred.astype(jnp.float32),
                                    fake_pred.astype(jnp.float32))
             return loss, (real_pred.mean(), fake_pred.mean())
@@ -172,7 +174,8 @@ def make_train_steps(
         def loss_fn(dp):
             def score_sum(img):
                 return discriminator_apply(dp, d_config, img, dtype=dtype,
-                                           data_format="NHWC"
+                                           data_format="NHWC",
+                                           remat=cfg.remat
                                            ).astype(jnp.float32).sum()
             grad_real = jax.grad(score_sum)(real_nhwc)
             r1 = jnp.mean(jnp.sum(jnp.square(
@@ -220,7 +223,8 @@ def make_train_steps(
             fake_list = list(g_out) if need_lists else [g_out]
             fake_img = fake_list[-1]
             fake_pred = discriminator_apply(d_params, d_config, fake_img,
-                                            dtype=dtype, data_format="NHWC")
+                                            dtype=dtype, data_format="NHWC",
+                                            remat=cfg.remat)
             g_loss = g_nonsaturating_loss(fake_pred.astype(jnp.float32))
             metrics = {"g": g_loss}
             total = g_loss

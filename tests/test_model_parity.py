@@ -275,3 +275,32 @@ def test_full_size_default_net_shape_matches_channels_dict():
     cfg = GeneratorConfig(size=32, style_dim=8, n_mlp=1)
     p = generator_init(jax.random.PRNGKey(0), cfg)
     assert net_shape_from_params(p) == default_net_shape(32)
+
+
+def test_discriminator_remat_parity():
+    """remat=True is a pure memory knob: identical scores, identical R1-style
+    grad-of-grad (the 1024px path that needs it, train/steps.py:d_reg_step)."""
+    import jax.numpy as jnp
+    from content_aware_gan_compression_tpu.models import (
+        DiscriminatorConfig, discriminator_init, discriminator_apply)
+
+    cfg = DiscriminatorConfig(size=32, channel_max=64)
+    params = discriminator_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+
+    out = discriminator_apply(params, cfg, x)
+    out_r = discriminator_apply(params, cfg, x, remat=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_r))
+
+    def r1(p, img, remat):
+        def score_sum(im):
+            return discriminator_apply(p, cfg, im, remat=remat).sum()
+        g = jax.grad(score_sum)(img)
+        return jnp.mean(jnp.sum(jnp.square(g.reshape(g.shape[0], -1)), axis=1))
+
+    g_plain = jax.grad(r1)(params, x, False)
+    g_remat = jax.grad(r1)(params, x, True)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -24,6 +24,8 @@ def main():
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--trace_dir", type=str, default=None,
                         help="write a jax.profiler trace here")
+    parser.add_argument("--remat", action="store_true", default=False,
+                        help="checkpoint synthesis blocks (1024px memory)")
     args = parser.parse_args()
 
     import jax
@@ -38,7 +40,8 @@ def main():
         TrainConfig, make_train_steps, make_optimizers, ema_accumulate)
 
     cfg = TrainConfig(generated_img_size=args.size,
-                      batch_size=args.batch_size, compute_dtype=args.dtype)
+                      batch_size=args.batch_size, compute_dtype=args.dtype,
+                      remat=args.remat)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
     full = default_net_shape(args.size)
