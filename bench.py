@@ -39,6 +39,10 @@ def main():
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--opt_state_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Adam second-moment storage dtype (bf16 halves "
+                             "its HBM traffic; off-reference numerics)")
     parser.add_argument("--remove_ratio", type=float, default=0.7)
     parser.add_argument("--keep_multiple", type=int, default=1,
                         help="round kept student widths UP to this multiple "
@@ -47,6 +51,9 @@ def main():
                              "tiles at 1024px")
     parser.add_argument("--remat", action="store_true", default=False,
                         help="checkpoint synthesis blocks (1024px memory)")
+    parser.add_argument("--trace_dir", type=str, default=None,
+                        help="write a jax.profiler trace of the timed window "
+                             "(fused-dispatch path only)")
     parser.add_argument("--per_iter_fetch", action="store_true", default=False,
                         help="fetch a scalar every iteration (adds one relay "
                              "round-trip ~27ms/iter on tunneled dev boxes; "
@@ -82,7 +89,8 @@ def main():
 
     cfg = TrainConfig(generated_img_size=args.size,
                       batch_size=args.batch_size,
-                      compute_dtype=args.dtype, remat=args.remat)
+                      compute_dtype=args.dtype, remat=args.remat,
+                      opt_state_dtype=args.opt_state_dtype)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
     # 11x-compressed student: keep ceil(width * (1 - ratio)) per layer
@@ -172,6 +180,10 @@ def main():
             it += K
             float(m["g"][-1])
         n_disp = max(1, args.iters // K)
+        ctx = None
+        if args.trace_dir:
+            ctx = jax.profiler.trace(args.trace_dir)
+            ctx.__enter__()
         t0 = time.perf_counter()
         for _ in range(n_disp):
             *state, last_reg, m = multi(*state, reals, it, last_reg,
@@ -179,6 +191,8 @@ def main():
             it += K
         float(m["g"][-1])
         dt = time.perf_counter() - t0
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
         iters_per_sec = n_disp * K / dt
         _report(args, cfg, iters_per_sec, g_config, t_config)
         return

@@ -98,6 +98,57 @@ def _depthwise_fir(
     )
 
 
+def _rank1_taps(kernel) -> np.ndarray | None:
+    """1-D factor of a separable (rank-1) concrete 2-D FIR, else None."""
+    if isinstance(kernel, jax.core.Tracer):
+        return None
+    k = np.asarray(kernel, np.float64)
+    if k.ndim != 2 or k.shape[0] != k.shape[1]:
+        return None
+    i = int(np.abs(k).sum(1).argmax())
+    if abs(k[i, i]) < 1e-12:
+        return None
+    col = k[:, i] / np.sqrt(abs(k[i, i]))
+    row = k[i, :] / np.sqrt(abs(k[i, i]))
+    if not np.allclose(np.outer(col, row), k, rtol=1e-6, atol=1e-12):
+        return None
+    return col.astype(np.float32)  # symmetric separable: col == row
+
+
+def _separable_shift_fir(x, taps: np.ndarray, pad) -> jnp.ndarray:
+    """up=down=1 FIR as two passes of shifted adds.
+
+    Measured on v5e at [4,1024,1024,32] bf16 (scalar-fetch fenced): the
+    grouped-depthwise conv lowering runs 17.7 ms — XLA reformats the
+    low-channel tensor through 5-D grouped-conv layouts — while this form
+    is 6.6 ms and differentiates to shifted adds of the same cost. At
+    C=128 the grouped conv is the fast path (1.4 ms, round-1 table), so
+    callers gate this to small C.
+    """
+    f = taps[::-1]  # correlate with the flipped kernel == convolve
+    n = len(f)
+    px0, px1, py0, py1 = pad
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (py0, py1), (0, 0), (0, 0)))
+    ho = h + py0 + py1 - (n - 1)
+    y = None
+    for j in range(n):
+        t = float(f[j]) * lax.slice_in_dim(xp, j, j + ho, axis=1)
+        y = t if y is None else y + t
+    yp = jnp.pad(y, ((0, 0), (0, 0), (px0, px1), (0, 0)))
+    wo = w + px0 + px1 - (n - 1)
+    out = None
+    for j in range(n):
+        t = float(f[j]) * lax.slice_in_dim(yp, j, j + wo, axis=2)
+        out = t if out is None else out + t
+    return out
+
+
+# channel count at or below which the shifted-add separable FIR beats the
+# grouped-depthwise conv lowering (see _separable_shift_fir docstring)
+_SHIFT_FIR_MAX_C = 64
+
+
 @partial(jax.jit, static_argnames=("up", "down", "pad", "data_format"))
 def upfirdn2d(
     x: jnp.ndarray,
@@ -168,6 +219,14 @@ def blur(x, kernel, pad: tuple[int, int], upsample_factor: int = 1,
             from .pallas import blur4_pallas
 
             return blur4_pallas(x, np.asarray(kernel), tuple(pad), gain)
+    if (data_format == "NHWC" and x.ndim == 4
+            and x.shape[-1] <= _SHIFT_FIR_MAX_C and min(pad) >= 0):
+        taps = _rank1_taps(kernel)
+        if taps is not None:
+            if gain != 1.0:
+                taps = taps * np.sqrt(gain).astype(np.float32)
+            return _separable_shift_fir(
+                x, taps, (pad[0], pad[1], pad[0], pad[1]))
     if gain != 1.0:
         kernel = kernel * gain
     return upfirdn2d(x, kernel, up=1, down=1, pad=pad, data_format=data_format)

@@ -48,6 +48,11 @@ class TrainConfig:
     # TPU-native extras
     seed: int = 0
     compute_dtype: str = "float32"    # 'bfloat16' for the fast path
+    # storage dtype for Adam's second moment ('bfloat16' halves the nu
+    # read+write HBM traffic in the weight-update phase; arithmetic stays
+    # f32 — steps.py:scale_by_adam_no_mu). Opt-in: rounding the stored
+    # moment deviates from reference numerics.
+    opt_state_dtype: str = "float32"
     n_devices: int | None = None      # None -> all local devices
     remat: bool = False               # checkpoint synthesis blocks (1024px)
     # in-loop FID runs interleaved with training (a few feature batches per

@@ -176,13 +176,20 @@ def save_checkpoint(path: str, trees: dict[str, Pytree], metadata: dict | None =
     """Save {'g': pytree, 'd': pytree, ...} (+ optimizer states) as one .npz
     with a JSON manifest. Keys use '<tree>/<torch-style-path>'."""
     arrays: dict[str, np.ndarray] = {}
-    manifest: dict = {"trees": {}, "metadata": metadata or {}}
+    manifest: dict = {"trees": {}, "metadata": metadata or {}, "dtypes": {}}
     for name, tree in trees.items():
         leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
         keys = []
         for path_entries, leaf in leaves_with_paths:
             key = name + "/" + "/".join(_path_str(e) for e in path_entries)
-            arrays[key] = np.asarray(leaf)
+            arr = np.asarray(leaf)
+            if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
+                # np.savez writes non-native dtypes (bf16 opt state) as raw
+                # void bytes that np.load can't type; store the uint16 bit
+                # pattern and record the dtype for the loader to view back
+                manifest["dtypes"][key] = arr.dtype.name
+                arr = arr.view(np.uint16)
+            arrays[key] = arr
             keys.append(key)
         manifest["trees"][name] = keys
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -209,6 +216,7 @@ def load_checkpoint(path: str) -> tuple[dict[str, Pytree], dict]:
     """
     with np.load(path, allow_pickle=False) as z:
         manifest = json.loads(bytes(z["__manifest__"].tobytes()).decode())
+        dtypes = manifest.get("dtypes", {})
         out: dict[str, Pytree] = {}
         for name, keys in manifest["trees"].items():
             tree: dict = {}
@@ -217,6 +225,9 @@ def load_checkpoint(path: str) -> tuple[dict[str, Pytree], dict]:
                 node = tree
                 for p in parts[:-1]:
                     node = node.setdefault(p, {})
-                node[parts[-1]] = jnp.asarray(z[key])
+                arr = z[key]
+                if key in dtypes:
+                    arr = arr.view(np.dtype(dtypes[key]))
+                node[parts[-1]] = jnp.asarray(arr)
             out[name] = tree
     return out, manifest["metadata"]

@@ -45,6 +45,24 @@ def test_npz_roundtrip_with_metadata(tmp_path):
                                np.ones((2, 3)))
 
 
+def test_npz_roundtrip_bfloat16_leaves(tmp_path):
+    """bf16 leaves (opt_state_dtype='bfloat16' Adam moments) must survive the
+    .npz roundtrip bit-exactly — np.savez alone degrades them to raw void
+    bytes, so save_checkpoint stores the uint16 bit pattern + a manifest
+    dtype record (utils/checkpoint.py)."""
+    rng = np.random.RandomState(0)
+    nu = jax.numpy.asarray(rng.randn(4, 5), jax.numpy.bfloat16)
+    tree = {"nu": {"weight": nu}, "count": jax.numpy.zeros((), jax.numpy.int32)}
+    path = str(tmp_path / "ck16.npz")
+    save_checkpoint(path, {"g_optim": tree}, metadata={"iter": 1})
+    trees, _ = load_checkpoint(path)
+    got = trees["g_optim"]["nu"]["weight"]
+    assert got.dtype == jax.numpy.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got).view(np.uint16), np.asarray(nu).view(np.uint16))
+    assert trees["g_optim"]["count"].dtype == jax.numpy.int32
+
+
 def test_statedict_pytree_roundtrip():
     sd = {"a.b.c": np.ones((2,)), "a.d": np.zeros((3,)), "e": np.full((1,), 7.0)}
     tree = torch_state_dict_to_pytree(sd)

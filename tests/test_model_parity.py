@@ -290,7 +290,10 @@ def test_discriminator_remat_parity():
 
     out = discriminator_apply(params, cfg, x)
     out_r = discriminator_apply(params, cfg, x, remat=True)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_r))
+    # not bit-identical: the shifted-add blur's adds fuse differently
+    # inside/outside jax.checkpoint
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-6)
 
     def r1(p, img, remat):
         def score_sum(im):

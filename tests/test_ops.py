@@ -203,3 +203,47 @@ def test_fused_leaky_relu_double_grad():
     m = np.where(np.asarray(x) >= 0, 1.0, 0.2)
     np.testing.assert_allclose(np.asarray(g), 2 * 2 * m * m * np.asarray(x), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gg), 2 * 2 * m * m, rtol=1e-5)
+
+
+def test_blur_shifted_add_matches_depthwise_conv():
+    """Small-C blur dispatches to the shifted-add separable form
+    (ops/upfirdn2d.py:_separable_shift_fir) — exact same math as the
+    grouped-conv lowering, to any differentiation order."""
+    import jax
+    import jax.numpy as jnp
+    from content_aware_gan_compression_tpu.ops import blur, make_kernel
+    from content_aware_gan_compression_tpu.ops.upfirdn2d import (
+        upfirdn2d, _rank1_taps)
+
+    k = make_kernel((1, 3, 3, 1))
+    assert _rank1_taps(k) is not None
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 17, 13, 8), jnp.float32)
+
+    for pad, up_f in [((2, 1), 1), ((2, 2), 1), ((1, 1), 2)]:
+        got = blur(x, k, pad=pad, upsample_factor=up_f)
+        kern = k * float(up_f ** 2) if up_f > 1 else k
+        want = upfirdn2d(x, kern, up=1, down=1, pad=pad)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def loss(x, fn):
+        return jnp.sum(jnp.square(fn(x)))
+
+    g1 = jax.grad(loss)(x, lambda t: blur(t, k, pad=(2, 1)))
+    g2 = jax.grad(loss)(x, lambda t: upfirdn2d(t, k, pad=(2, 1)))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
+    # grad-of-grad (the R1/path-length regime)
+    gg1 = jax.grad(lambda t: jnp.sum(jax.grad(loss)(t, lambda u: blur(
+        u, k, pad=(2, 1))) ** 2))(x)
+    gg2 = jax.grad(lambda t: jnp.sum(jax.grad(loss)(t, lambda u: upfirdn2d(
+        u, k, pad=(2, 1))) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gg1), np.asarray(gg2),
+                               rtol=1e-5, atol=1e-5)
+
+    # large C stays on the depthwise-conv path (bitwise same function)
+    xl = jnp.asarray(rng.randn(1, 9, 9, 128), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(blur(xl, k, pad=(2, 1))),
+        np.asarray(upfirdn2d(xl, k, pad=(2, 1))))

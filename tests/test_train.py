@@ -161,6 +161,38 @@ def test_adam_no_mu_bit_identical_to_optax_adam():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_adam_no_mu_bf16_state_option():
+    """opt_state_dtype='bfloat16' (TrainConfig extra) stores Adam's second
+    moment rounded to bf16 while keeping the update arithmetic in f32
+    (steps.py:scale_by_adam_no_mu). The trajectory must track the f32-state
+    one to bf16 rounding, and the stored state must actually be bf16."""
+    import optax
+    from content_aware_gan_compression_tpu.train.steps import _reg_ratio_adam
+
+    ratio = 16 / 17
+    f32_opt = _reg_ratio_adam(0.002, ratio)
+    bf16_opt = _reg_ratio_adam(0.002, ratio, state_dtype="bfloat16")
+    params = {"w": jnp.asarray(np.random.RandomState(0).randn(33, 17),
+                               jnp.float32)}
+    s32, s16 = f32_opt.init(params), bf16_opt.init(params)
+    assert jax.tree_util.tree_leaves(s16)[1].dtype == jnp.bfloat16
+    p32 = p16 = params
+    for i in range(6):
+        g = jax.tree_util.tree_map(
+            lambda p, i=i: jnp.asarray(
+                np.random.RandomState(20 + i).randn(*p.shape), p.dtype),
+            params)
+        u32, s32 = f32_opt.update(g, s32, p32)
+        u16, s16 = bf16_opt.update(g, s16, p16)
+        p32 = optax.apply_updates(p32, u32)
+        p16 = optax.apply_updates(p16, u16)
+        assert jax.tree_util.tree_leaves(s16)[1].dtype == jnp.bfloat16
+        # updates computed in f32; only the carried moment is rounded
+        assert u16["w"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
+                               rtol=2e-2, atol=2e-4)
+
+
 def test_ema_accumulate_math():
     a = {"w": jnp.ones((3,))}
     b = {"w": jnp.zeros((3,))}

@@ -53,6 +53,11 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--opt_state_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="storage dtype for Adam's second moment "
+                             "(bfloat16 halves its HBM traffic; arithmetic "
+                             "stays f32 — deviates from reference numerics)")
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--steps_per_dispatch", type=int,
                         default=hp.steps_per_dispatch,
@@ -87,7 +92,8 @@ def main():
         teacher=args.teacher_ckpt, kd_l1_lambda=args.kd_l1_lambda,
         kd_lpips_lambda=args.kd_lpips_lambda, kd_mode=args.kd_mode,
         content_aware_KD=args.content_aware_KD, seed=args.seed,
-        compute_dtype=args.dtype, n_devices=args.n_devices,
+        compute_dtype=args.dtype, opt_state_dtype=args.opt_state_dtype,
+        n_devices=args.n_devices,
         steps_per_dispatch=args.steps_per_dispatch)
 
     import jax
