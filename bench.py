@@ -51,6 +51,9 @@ def main():
                              "tiles at 1024px")
     parser.add_argument("--remat", action="store_true", default=False,
                         help="checkpoint synthesis blocks (1024px memory)")
+    parser.add_argument("--packed", action="store_true", default=False,
+                        help="space-to-depth packed trunk for the "
+                             "lane-sparse high-res layers")
     parser.add_argument("--trace_dir", type=str, default=None,
                         help="write a jax.profiler trace of the timed window "
                              "(fused-dispatch path only)")
@@ -90,7 +93,8 @@ def main():
     cfg = TrainConfig(generated_img_size=args.size,
                       batch_size=args.batch_size,
                       compute_dtype=args.dtype, remat=args.remat,
-                      opt_state_dtype=args.opt_state_dtype)
+                      opt_state_dtype=args.opt_state_dtype,
+                      packed_trunk=args.packed)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
     # 11x-compressed student: keep ceil(width * (1 - ratio)) per layer

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field, replace
+from functools import partial
 from typing import Any
 
 import jax
@@ -200,6 +201,7 @@ def _modulated_conv2d_init(key, in_ch, out_ch, k, style_dim):
 def _modulated_conv2d(
     p, x_nhwc, style_w, *, demodulate=True, up=False, down=False,
     blur_kernel=(1, 3, 3, 1), precision=None, return_style_scalars=False,
+    packed=False, packed_in=False,
 ):
     """Per-sample modulated conv, scale-input/scale-output form.
 
@@ -222,6 +224,39 @@ def _modulated_conv2d(
         wsq = jnp.sum(jnp.square(w.astype(jnp.float32)), axis=(2, 3))  # [out, in]
         sigma = (scale * scale) * (jnp.square(s.astype(jnp.float32)) @ wsq.T) + 1e-8
         demod = lax.rsqrt(sigma).astype(x_nhwc.dtype)  # [B, out]
+
+    if packed:
+        # packed-trunk execution (ops/packed.py): per-sample modulation
+        # scales tile across the four pixel phases; the conv runs as one
+        # dense packed conv with statically-gathered weights. Exact same
+        # math as the unpacked branches below.
+        from ..ops.packed import packed_conv, packed_conv_up
+
+        ws = (w * scale).astype(x_nhwc.dtype)
+        w_hwio = jnp.transpose(ws, (2, 3, 1, 0))
+        s_in = s.astype(x_nhwc.dtype)
+        if packed_in:
+            s_in = jnp.tile(s_in, (1, 4))
+        xs = x_nhwc * s_in[:, None, None, :]
+        taps = np.asarray(blur_kernel, np.float32)
+        taps = taps / taps.sum()
+        if up:
+            factor = 2
+            pb = (len(blur_kernel) - factor) - (k - 1)
+            pad0 = (pb + 1) // 2 + factor - 1
+            pad1 = pb // 2 + 1
+            out = packed_conv_up(xs, w_hwio, fir=taps, fir_pad=(pad0, pad1),
+                                 fir_gain=float(factor ** 2),
+                                 packed_in=packed_in, precision=precision)
+        else:
+            assert packed_in, "packed s1 styled conv needs packed input"
+            out = packed_conv(xs, w_hwio, stride=1, pad=k // 2,
+                              precision=precision)
+        if demod is not None:
+            out = out * jnp.tile(demod, (1, 4))[:, None, None, :]
+        if return_style_scalars:
+            return out, s
+        return out
 
     xs = x_nhwc * s[:, None, None, :].astype(x_nhwc.dtype)
     ws = (w * scale).astype(x_nhwc.dtype)
@@ -288,13 +323,26 @@ def _styled_conv_init(key, in_ch, out_ch, k, style_dim):
 
 
 def _styled_conv(p, x, style_w, noise, *, up=False, blur_kernel=(1, 3, 3, 1),
-                 precision=None, return_style_scalars=False):
+                 precision=None, return_style_scalars=False,
+                 packed=False, packed_in=False):
     """StyledConv = modulated conv + noise injection + fused bias-LeakyReLU
-    (reference model.py:323-367). ``noise`` is [B, H, W, 1]."""
+    (reference model.py:323-367). ``noise`` is [B, H, W, 1] — or, when
+    packed=True, the pre-packed [*, H/2, W/2, 4*out_ch] form from
+    ops.packed.pack_noise."""
     r = _modulated_conv2d(
         p["conv"], x, style_w, demodulate=True, up=up, blur_kernel=blur_kernel,
-        precision=precision, return_style_scalars=return_style_scalars)
+        precision=precision, return_style_scalars=return_style_scalars,
+        packed=packed, packed_in=packed_in)
     out, s = r if return_style_scalars else (r, None)
+    if packed:
+        from ..ops.packed import tile_channel_vector
+
+        out = out + p["noise"]["weight"][0].astype(out.dtype) * noise.astype(out.dtype)
+        out = fused_leaky_relu(
+            out, tile_channel_vector(p["activate"]["bias"]).astype(out.dtype))
+        if return_style_scalars:
+            return out, s
+        return out
     from ..ops.pallas import use_pallas
 
     if use_pallas() and out.dtype == jnp.float32:
@@ -319,14 +367,40 @@ def _to_rgb_init(key, in_ch, style_dim):
 
 
 def _to_rgb(p, x, style_w, skip=None, *, blur_kernel=(1, 3, 3, 1),
-            precision=None, return_style_scalars=False):
+            precision=None, return_style_scalars=False,
+            packed=False, skip_packed=False):
     """1x1 modulated conv (no demod) + bias + upsampled skip accumulation
-    (reference model.py:370-395)."""
+    (reference model.py:370-395). packed=True consumes a packed x and
+    produces a PACKED 12-channel rgb; the incoming skip may be packed
+    (skip_packed) or the unpacked 3-channel image from the level below
+    the packed trunk."""
     r = _modulated_conv2d(
         p["conv"], x, style_w, demodulate=False, precision=precision,
-        return_style_scalars=return_style_scalars)
+        return_style_scalars=return_style_scalars,
+        packed=packed, packed_in=packed)
     out, s = r if return_style_scalars else (r, None)
-    out = out + jnp.transpose(p["bias"], (0, 2, 3, 1)).astype(out.dtype)
+    bias_nhwc = jnp.transpose(p["bias"], (0, 2, 3, 1))
+    if packed:
+        from ..ops.packed import (
+            packed_upfirdn_up2, packed_conv_up, tile_channel_vector)
+
+        out = out + tile_channel_vector(bias_nhwc[0, 0, 0]).astype(out.dtype)
+        if skip is not None:
+            taps = np.asarray(blur_kernel, np.float32)
+            taps = taps / taps.sum()
+            if skip_packed:
+                skip = packed_upfirdn_up2(skip, taps, pad=(2, 1), gain=4.0,
+                                          precision=precision)
+            else:
+                eye = jnp.eye(skip.shape[-1], dtype=skip.dtype)[None, None]
+                skip = packed_conv_up(skip, eye, fir=taps, fir_pad=(2, 1),
+                                      fir_gain=4.0, packed_in=False,
+                                      precision=precision)
+            out = out + skip
+        if return_style_scalars:
+            return out, s
+        return out
+    out = out + bias_nhwc.astype(out.dtype)
     if skip is not None:
         skip = upsample_2d(skip, make_kernel(blur_kernel))
         out = out + skip
@@ -426,15 +500,31 @@ def _noise_buffers_nhwc(params, config):
 
 
 def _synthesis(params, config, latent, noise, *, precision=None, dtype=None,
-               return_style_scalars=False, remat=False):
+               return_style_scalars=False, remat=False,
+               packed=False, packed_max_ch: int = 64):
     """Core synthesis network: W+ latent [B, n_latent, D] + per-layer noise
     -> NHWC image + per-scale rgb skips (reference model.py:612-646).
 
     remat=True wraps each (up-conv, conv, to_rgb) resolution block in
     jax.checkpoint — trades ~1/3 extra FLOPs for activation memory, which is
-    what makes 1024px training fit comfortably (SURVEY section 7 stage 8)."""
+    what makes 1024px training fit comfortably (SURVEY section 7 stage 8).
+
+    packed=True runs the lane-sparse high-res tail (every pair whose widths
+    are <= packed_max_ch, at res >= 64) in space-to-depth layout: styled
+    convs, noise, to_rgb and the rgb skip chain all stay packed
+    (ops/packed.py). Exact same math."""
     bk = config.blur_kernel
     batch = latent.shape[0]
+
+    ns = config.net_shape
+    n_pairs_total = len(params["convs"]) // 2
+    pair_packed = [False] * n_pairs_total
+    if packed:
+        for pair in range(n_pairs_total):
+            i_ = pair + 1
+            res = 2 ** (i_ + 2)
+            pair_packed[pair] = (max(ns[2 * i_], ns[2 * i_ + 1])
+                                 <= packed_max_ch and res >= 64)
 
     x = jnp.transpose(params["input"]["input"], (0, 2, 3, 1))
     if dtype is not None:
@@ -463,18 +553,28 @@ def _synthesis(params, config, latent, noise, *, precision=None, dtype=None,
         c2 = params["convs"][str(2 * pair + 1)]
         trgb = params["to_rgbs"][str(pair)]
         last_rgb_scalars = return_style_scalars and (i + 3) == latent.shape[1]
+        pk = pair_packed[pair]
+        pk_in = pair > 0 and pair_packed[pair - 1]
 
-        def block(x, skip, c1, c2, trgb, lat_i, lat_i1, lat_i2, n1, n2):
+        def block(x, skip, c1, c2, trgb, lat_i, lat_i1, lat_i2, n1, n2,
+                  pk=pk, pk_in=pk_in):
             s_list = []
+            if pk:
+                from ..ops.packed import pack_noise
+
+                n1 = pack_noise(n1, int(c1["activate"]["bias"].shape[0]))
+                n2 = pack_noise(n2, int(c2["activate"]["bias"].shape[0]))
             r = _styled_conv(c1, x, lat_i, n1, up=True, blur_kernel=bk,
                              precision=precision,
-                             return_style_scalars=return_style_scalars)
+                             return_style_scalars=return_style_scalars,
+                             packed=pk, packed_in=pk_in)
             x, s = r if return_style_scalars else (r, None)
             if s is not None:
                 s_list.append(s)
             r = _styled_conv(c2, x, lat_i1, n2, blur_kernel=bk,
                              precision=precision,
-                             return_style_scalars=return_style_scalars)
+                             return_style_scalars=return_style_scalars,
+                             packed=pk, packed_in=pk)
             x, s = r if return_style_scalars else (r, None)
             if s is not None:
                 s_list.append(s)
@@ -482,11 +582,13 @@ def _synthesis(params, config, latent, noise, *, precision=None, dtype=None,
                 # last ToRGB's scalars are collected too (model.py:637-639)
                 skip, s = _to_rgb(trgb, x, lat_i2, skip, blur_kernel=bk,
                                   precision=precision,
-                                  return_style_scalars=True)
+                                  return_style_scalars=True,
+                                  packed=pk, skip_packed=pk_in)
                 s_list.append(s)
             else:
                 skip = _to_rgb(trgb, x, lat_i2, skip, blur_kernel=bk,
-                               precision=precision)
+                               precision=precision,
+                               packed=pk, skip_packed=pk_in)
             return x, skip, s_list
 
         if remat:
@@ -495,8 +597,16 @@ def _synthesis(params, config, latent, noise, *, precision=None, dtype=None,
             x, skip, c1, c2, trgb, latent[:, i], latent[:, i + 1],
             latent[:, i + 2], noise[2 * pair + 1], noise[2 * pair + 2])
         styles_list.extend(s_list)
-        rgb_list.append(skip)
+        if pk:
+            from ..ops.packed import depth_to_space
+
+            rgb_list.append(depth_to_space(skip))
+        else:
+            rgb_list.append(skip)
         i += 2
+
+    if n_pairs and pair_packed[n_pairs - 1]:
+        skip = rgb_list[-1]
 
     return skip, rgb_list, styles_list
 
@@ -522,9 +632,14 @@ def generator_apply(
     precision=None,
     dtype=None,
     remat: bool = False,
+    packed: bool = False,
+    packed_max_ch: int = 64,
     output_format: str = "NCHW",
 ):
     """Generator forward (reference Generator.forward, model.py:545-666).
+
+    packed=True runs the lane-sparse high-res synthesis tail in
+    space-to-depth layout (ops/packed.py, exact math — see _synthesis).
 
     Args:
       noise_z: list of z latents [B, D] (1 or 2 entries; 2 -> style mixing).
@@ -596,7 +711,8 @@ def generator_apply(
         def synth(lat):
             img, _, _ = _synthesis(params, cfg, lat, noise,
                                    precision=precision, dtype=dtype,
-                                   remat=remat)
+                                   remat=remat, packed=packed,
+                                   packed_max_ch=packed_max_ch)
             return img
 
         image, vjp_fn = jax.vjp(synth, latent)
@@ -609,7 +725,8 @@ def generator_apply(
 
     image, rgb_list, styles_list = _synthesis(
         params, cfg, latent, noise, precision=precision, dtype=dtype,
-        return_style_scalars=return_style_scalars, remat=remat)
+        return_style_scalars=return_style_scalars, remat=remat,
+        packed=packed, packed_max_ch=packed_max_ch)
 
     if return_rgb_list:
         returns = [to_out(r) for r in rgb_list]
@@ -739,6 +856,53 @@ def _conv_layer(p, x, k, *, downsample=False, bias=True, activate=True,
     return out
 
 
+def _packed_conv_layer(p, xp, k, blur_taps, *, downsample=False, bias=True,
+                       activate=True, precision=None):
+    """_conv_layer on a PACKED tensor (ops/packed.py): the blur+conv pair
+    becomes one dense packed conv with the FIR folded into the statically
+    gathered weights; bias/activation map channelwise (tiled by phase).
+    Same math as _conv_layer to conv-order reassociation."""
+    from ..ops.packed import packed_conv, tile_channel_vector
+
+    conv_idx = "1" if downsample else "0"
+    pw = p[conv_idx]["weight"]
+    out_ch, in_ch, kk, _ = pw.shape
+    scale = 1.0 / math.sqrt(in_ch * kk * kk)
+    w = (pw * scale).astype(xp.dtype)
+    w_hwio = jnp.transpose(w, (2, 3, 1, 0))
+    if downsample:
+        pb = (len(blur_taps) - 2) + (k - 1)
+        out = packed_conv(xp, w_hwio, stride=2, pad=0, fir=blur_taps,
+                          fir_pad=((pb + 1) // 2, pb // 2),
+                          precision=precision)
+        act_idx = "2"
+    else:
+        out = packed_conv(xp, w_hwio, stride=1, pad=k // 2,
+                          precision=precision)
+        act_idx = "1"
+    if "bias" in p[conv_idx]:
+        out = out + tile_channel_vector(
+            p[conv_idx]["bias"]).astype(out.dtype)
+    if activate:
+        if bias:
+            out = fused_leaky_relu(
+                out, tile_channel_vector(p[act_idx]["bias"]).astype(out.dtype))
+        else:
+            out = scaled_leaky_relu(out)
+    return out
+
+
+def _packed_res_block(p, xp, blur_taps, precision=None):
+    out = _packed_conv_layer(p["conv1"], xp, 3, blur_taps,
+                             precision=precision)
+    out = _packed_conv_layer(p["conv2"], out, 3, blur_taps, downsample=True,
+                             precision=precision)
+    skip = _packed_conv_layer(p["skip"], xp, 1, blur_taps, downsample=True,
+                              activate=False, bias=False,
+                              precision=precision)
+    return (out + skip) / math.sqrt(2)
+
+
 def _res_block_init(key, in_ch, out_ch):
     k1, k2, k3 = random.split(key, 3)
     return {
@@ -801,7 +965,8 @@ def _minibatch_stddev(x_nhwc, group_size, stddev_feat):
 
 def discriminator_apply(params: Params, config: DiscriminatorConfig, image,
                         *, precision=None, dtype=None,
-                        data_format: str = "NCHW", remat: bool = False):
+                        data_format: str = "NCHW", remat: bool = False,
+                        packed: bool = False, packed_max_ch: int = 64):
     """Discriminator forward (reference model.py:780-798). Input NCHW by
     default; data_format="NHWC" consumes the TPU-native layout directly
     (the network is NHWC-internal either way).
@@ -810,23 +975,63 @@ def discriminator_apply(params: Params, config: DiscriminatorConfig, image,
     the R1 regularizer fit at 1024px: its grad-of-grad otherwise stores
     linearization residuals for every full-width D layer, and the low-C
     high-res ones ([B,1024,1024,32] bf16) pad 4x on the lane dim — the
-    batch-4 OOM breakdown was dominated by exactly those buffers."""
+    batch-4 OOM breakdown was dominated by exactly those buffers.
+
+    packed=True runs the low-channel high-res trunk in space-to-depth
+    layout (ops/packed.py): the image is packed once, every conv of a
+    res-block whose input width is <= packed_max_ch executes as one dense
+    packed conv (blur folded in), and the trunk unpacks where widths reach
+    MXU/lane density. Exact same math; measured 3.3x on the 1024px C=32
+    conv fwd+bwd (round-2 trace: 81% of 1024px device time was layout
+    copies + conv fusions over these C<=64 tensors)."""
     x = image if data_format == "NHWC" else jnp.transpose(image, (0, 2, 3, 1))
     if dtype is not None:
         x = x.astype(dtype)
     bk = config.blur_kernel
 
-    x = _conv_layer(params["convs"]["0"], x, 1, blur_kernel=bk, precision=precision)
     n_blocks = len(params["convs"]) - 1
-    block = _res_block
-    if remat:
-        block = jax.checkpoint(
-            lambda p, x: _res_block(p, x, bk, precision=precision))
+    # static per-block packing decision from the param widths
+    block_in_ch = [int(params["convs"][str(i)]["conv1"]["0"]["weight"].shape[1])
+                   for i in range(1, n_blocks + 1)]
+    blk_packed = [False] * (n_blocks + 1)
+    if packed:
+        for i in range(1, n_blocks + 1):
+            # spatial size of block i's input: size / 2^(i-1); pack while the
+            # width is lane-sparse and the packed grid stays >= 8
+            res = config.size >> (i - 1)
+            blk_packed[i] = (block_in_ch[i - 1] <= packed_max_ch
+                             and res >= 32)
+
+    if packed and blk_packed[1]:
+        from ..ops.packed import space_to_depth, packed_conv, \
+            tile_channel_vector
+        xp = space_to_depth(x)
+        c0 = params["convs"]["0"]
+        w0 = c0["0"]["weight"]
+        scale0 = 1.0 / math.sqrt(w0.shape[1] * w0.shape[2] * w0.shape[3])
+        out = packed_conv(
+            xp, jnp.transpose((w0 * scale0).astype(xp.dtype), (2, 3, 1, 0)),
+            stride=1, pad=0, precision=precision)
+        x = fused_leaky_relu(
+            out, tile_channel_vector(c0["1"]["bias"]).astype(out.dtype))
+        taps = np.asarray(bk, np.float32)
+        taps = taps / taps.sum()
+    else:
+        x = _conv_layer(params["convs"]["0"], x, 1, blur_kernel=bk,
+                        precision=precision)
+
     for i in range(1, n_blocks + 1):
-        if remat:
-            x = block(params["convs"][str(i)], x)
+        if blk_packed[i]:
+            fn = partial(_packed_res_block, blur_taps=taps,
+                         precision=precision)
         else:
-            x = _res_block(params["convs"][str(i)], x, bk, precision=precision)
+            fn = partial(_res_block, blur_kernel=bk, precision=precision)
+        if remat:
+            fn = jax.checkpoint(lambda p, x, fn=fn: fn(p, x))
+        x = fn(params["convs"][str(i)], x)
+        if blk_packed[i] and (i == n_blocks or not blk_packed[i + 1]):
+            from ..ops.packed import depth_to_space
+            x = depth_to_space(x)
 
     x = _minibatch_stddev(x, config.stddev_group, config.stddev_feat)
     x = _conv_layer(params["final_conv"], x, 3, blur_kernel=bk, precision=precision)

@@ -55,6 +55,11 @@ class TrainConfig:
     opt_state_dtype: str = "float32"
     n_devices: int | None = None      # None -> all local devices
     remat: bool = False               # checkpoint synthesis blocks (1024px)
+    # run the low-channel high-res trunk in space-to-depth layout
+    # (ops/packed.py): every conv of a D block whose width is lane-sparse
+    # executes as one dense packed conv. Exact math; big measured win at
+    # 512/1024px where those layers dominate device time.
+    packed_trunk: bool = False
     # in-loop FID runs interleaved with training (a few feature batches per
     # iteration on the same device stream) instead of stalling the loop for
     # the full 50k-sample pass like the reference (train.py:436-441)

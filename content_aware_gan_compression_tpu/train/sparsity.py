@@ -128,7 +128,8 @@ class SparsityTrainer(Trainer):
             if teacher_params is not None:
                 teacher_list = generator_apply(
                     teacher_params, t_config, zs, inject_index=inject_index,
-                    rng=k_tnoise, return_rgb_list=True, dtype=dtype)
+                    rng=k_tnoise, return_rgb_list=True, dtype=dtype,
+                    packed=cfg.packed_trunk)
                 teacher_list = [jax.lax.stop_gradient(t.astype(jnp.float32))
                                 for t in teacher_list]
 
@@ -136,11 +137,12 @@ class SparsityTrainer(Trainer):
                 fake_list, style_list = generator_apply(
                     gp, g_config, zs, inject_index=inject_index, rng=k_noise,
                     return_rgb_list=True, return_style_scalars=True,
-                    dtype=dtype, remat=cfg.remat)
+                    dtype=dtype, remat=cfg.remat, packed=cfg.packed_trunk)
                 fake_list = [f.astype(jnp.float32) for f in fake_list]
                 fake_img = fake_list[-1]
                 fake_pred = discriminator_apply(d_params, d_config, fake_img,
-                                                dtype=dtype, remat=cfg.remat)
+                                                dtype=dtype, remat=cfg.remat,
+                                                packed=cfg.packed_trunk)
                 g_loss = g_nonsaturating_loss(fake_pred.astype(jnp.float32))
                 style_list = [s.astype(jnp.float32) for s in style_list]
                 sparse = l1_style_sparse_loss(style_list, opts["sparsity_eta"])

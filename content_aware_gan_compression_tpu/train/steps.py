@@ -155,7 +155,7 @@ def make_train_steps(
         zs, inject_index = _mixing_latents(k_mix, batch, cfg, n_latent)
         fake_img = generator_apply(
             g_params, g_config, zs, inject_index=inject_index, rng=k_noise,
-            dtype=dtype, output_format="NHWC")
+            dtype=dtype, packed=cfg.packed_trunk, output_format="NHWC")
         fake_img = jax.lax.stop_gradient(fake_img)
         real_nhwc = _as_nhwc_image(real_img)
 
@@ -168,10 +168,12 @@ def make_train_steps(
             # stddev groups would mix fake and real samples.
             fake_pred = discriminator_apply(dp, d_config, fake_img,
                                             dtype=dtype, data_format="NHWC",
-                                            remat=cfg.remat)
+                                            remat=cfg.remat,
+                                            packed=cfg.packed_trunk)
             real_pred = discriminator_apply(dp, d_config, real_nhwc,
                                             dtype=dtype, data_format="NHWC",
-                                            remat=cfg.remat)
+                                            remat=cfg.remat,
+                                            packed=cfg.packed_trunk)
             loss = d_logistic_loss(real_pred.astype(jnp.float32),
                                    fake_pred.astype(jnp.float32))
             return loss, (real_pred.mean(), fake_pred.mean())
@@ -191,7 +193,8 @@ def make_train_steps(
             def score_sum(img):
                 return discriminator_apply(dp, d_config, img, dtype=dtype,
                                            data_format="NHWC",
-                                           remat=cfg.remat
+                                           remat=cfg.remat,
+                                           packed=cfg.packed_trunk
                                            ).astype(jnp.float32).sum()
             grad_real = jax.grad(score_sum)(real_nhwc)
             r1 = jnp.mean(jnp.sum(jnp.square(
@@ -220,7 +223,7 @@ def make_train_steps(
                 teacher_params, teacher_config, zs,
                 inject_index=inject_index, rng=k_tnoise,
                 return_rgb_list=need_lists, dtype=dtype,
-                output_format="NHWC")
+                packed=cfg.packed_trunk, output_format="NHWC")
             teacher_list = list(t_out) if need_lists else [t_out]
             teacher_list = [jax.lax.stop_gradient(t) for t in teacher_list]
 
@@ -235,12 +238,13 @@ def make_train_steps(
             g_out = generator_apply(
                 gp, g_config, zs, inject_index=inject_index, rng=k_noise,
                 return_rgb_list=need_lists, dtype=dtype, remat=cfg.remat,
-                output_format="NHWC")
+                packed=cfg.packed_trunk, output_format="NHWC")
             fake_list = list(g_out) if need_lists else [g_out]
             fake_img = fake_list[-1]
             fake_pred = discriminator_apply(d_params, d_config, fake_img,
                                             dtype=dtype, data_format="NHWC",
-                                            remat=cfg.remat)
+                                            remat=cfg.remat,
+                                            packed=cfg.packed_trunk)
             g_loss = g_nonsaturating_loss(fake_pred.astype(jnp.float32))
             metrics = {"g": g_loss}
             total = g_loss
@@ -278,7 +282,7 @@ def make_train_steps(
             _, path_lengths = generator_apply(
                 gp, g_config, [z[0], z[1]], inject_index=inject_index,
                 rng=k_noise, PPL_regularize=True, ppl_rng=k_ppl, dtype=dtype,
-                remat=cfg.remat)
+                remat=cfg.remat, packed=cfg.packed_trunk)
             path_mean = mean_path_length + 0.01 * (
                 path_lengths.mean() - mean_path_length)
             path_loss = jnp.mean(jnp.square(path_lengths - path_mean))

@@ -59,6 +59,12 @@ def main():
                              "(bfloat16 halves its HBM traffic; arithmetic "
                              "stays f32 — deviates from reference numerics)")
     parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--remat", action="store_true", default=False,
+                        help="checkpoint synthesis/D blocks (1024px memory)")
+    parser.add_argument("--packed_trunk", action="store_true", default=False,
+                        help="run the lane-sparse high-res layers in "
+                             "space-to-depth packed layout (exact math; "
+                             "big win at 512/1024px)")
     parser.add_argument("--steps_per_dispatch", type=int,
                         default=hp.steps_per_dispatch,
                         help="fuse K iterations (regularizer cadence "
@@ -93,8 +99,8 @@ def main():
         kd_lpips_lambda=args.kd_lpips_lambda, kd_mode=args.kd_mode,
         content_aware_KD=args.content_aware_KD, seed=args.seed,
         compute_dtype=args.dtype, opt_state_dtype=args.opt_state_dtype,
-        n_devices=args.n_devices,
-        steps_per_dispatch=args.steps_per_dispatch)
+        n_devices=args.n_devices, packed_trunk=args.packed_trunk,
+        remat=args.remat, steps_per_dispatch=args.steps_per_dispatch)
 
     import jax
 
