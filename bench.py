@@ -51,9 +51,11 @@ def main():
                              "tiles at 1024px")
     parser.add_argument("--remat", action="store_true", default=False,
                         help="checkpoint synthesis blocks (1024px memory)")
-    parser.add_argument("--packed", action="store_true", default=False,
+    parser.add_argument("--packed", action=argparse.BooleanOptionalAction,
+                        default=True,
                         help="space-to-depth packed trunk for the "
-                             "lane-sparse high-res layers")
+                             "lane-sparse high-res layers (--no-packed "
+                             "for the unpacked baseline)")
     parser.add_argument("--trace_dir", type=str, default=None,
                         help="write a jax.profiler trace of the timed window "
                              "(fused-dispatch path only)")

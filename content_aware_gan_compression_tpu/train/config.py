@@ -56,10 +56,10 @@ class TrainConfig:
     n_devices: int | None = None      # None -> all local devices
     remat: bool = False               # checkpoint synthesis blocks (1024px)
     # run the low-channel high-res trunk in space-to-depth layout
-    # (ops/packed.py): every conv of a D block whose width is lane-sparse
-    # executes as one dense packed conv. Exact math; big measured win at
-    # 512/1024px where those layers dominate device time.
-    packed_trunk: bool = False
+    # (ops/packed.py): every conv of a block whose width is lane-sparse
+    # executes as one dense packed conv. Exact math (fp reassociation
+    # only); measured 2.5x at 1024px, +2% at 256px — default ON.
+    packed_trunk: bool = True
     # in-loop FID runs interleaved with training (a few feature batches per
     # iteration on the same device stream) instead of stalling the loop for
     # the full 50k-sample pass like the reference (train.py:436-441)

@@ -61,7 +61,8 @@ def main():
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--remat", action="store_true", default=False,
                         help="checkpoint synthesis/D blocks (1024px memory)")
-    parser.add_argument("--packed_trunk", action="store_true", default=False,
+    parser.add_argument("--packed_trunk", action=argparse.BooleanOptionalAction,
+                        default=True,
                         help="run the lane-sparse high-res layers in "
                              "space-to-depth packed layout (exact math; "
                              "big win at 512/1024px)")
