@@ -182,7 +182,9 @@ def main():
             real_u8, (K,) + real_u8.shape))
         state = (g_params, g_opt_state, d_params, d_opt_state, g_ema, mpl,
                  rng)
-        last_reg = (0.0, 0.0, 0.0)
+        # strong-typed: Python floats would cost one extra trace (weak f32[]
+        # avals) before the warm dispatches settle on the returned arrays
+        last_reg = tuple(jnp.asarray(0.0, jnp.float32) for _ in range(3))
         it = 0
         # warm TWO dispatches: reg steps re-specialize when they first
         # consume step-produced buffer layouts (see --warmup note above)

@@ -146,7 +146,9 @@ class OverlappedFIDEval:
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._cfg = config
         self._bs = batch_size
-        self._n_batch = n_sample // batch_size
+        # n_sample < batch_size => ONE batch of n_sample (n_batch would be 0
+        # and advance() would silently never produce a score)
+        self._n_batch = max(1, n_sample // batch_size)
         self._resid = n_sample - (self._n_batch - 1) * batch_size
         self._step = jax.jit(partial(
             _feature_step, config=config, truncation=truncation,

@@ -59,11 +59,12 @@ def _ppl_batch(g_params, lpips_params, config, z, lerp_t, rng, eps):
 def get_ppl_score(
     g_params, config, lpips_params, *, n_sample=5000, batch_size=64,
     eps=1e-4, rng=None, divide_eps_sq=False, info_print=False,
+    return_distances=False,
 ):
     """PPL over n_sample pairs (reference Get_PPL_Score, ppl.py:74-128)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    n_batch = max(n_sample // batch_size, 1)
-    resid = max(n_sample, batch_size) - n_batch * batch_size
+    n_batch = n_sample // batch_size
+    resid = n_sample - n_batch * batch_size
     step = jax.jit(partial(_ppl_batch, config=config, eps=eps))
 
     # Residual batch: the reference appends one more batch when n_sample
@@ -91,4 +92,7 @@ def get_ppl_score(
     lo = np.percentile(distances, 1, method="lower")
     hi = np.percentile(distances, 99, method="higher")
     filtered = distances[(distances >= lo) & (distances <= hi)]
-    return float(filtered.mean())
+    score = float(filtered.mean())
+    if return_distances:  # raw pre-filter distances (reference __main__
+        return score, distances  # prints their full stats, ppl.py:196-204)
+    return score

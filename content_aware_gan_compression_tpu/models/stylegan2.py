@@ -525,6 +525,15 @@ def _synthesis(params, config, latent, noise, *, precision=None, dtype=None,
             res = 2 ** (i_ + 2)
             pair_packed[pair] = (max(ns[2 * i_], ns[2 * i_ + 1])
                                  <= packed_max_ch and res >= 64)
+        # packing must be a contiguous TAIL: a packed pair hands its output
+        # to the next pair in packed layout and there is no mid-trunk
+        # unpack transition. Widths normally shrink with resolution so the
+        # qualifying pairs already form a suffix; for a non-monotone pruned
+        # net_shape (net widths are data — CLAUDE.md) fall back to unpacked
+        # for every pair at or before the last non-qualifying one.
+        last_false = max((p for p in range(n_pairs_total)
+                          if not pair_packed[p]), default=-1)
+        pair_packed = [p > last_false for p in range(n_pairs_total)]
 
     x = jnp.transpose(params["input"]["input"], (0, 2, 3, 1))
     if dtype is not None:
@@ -1001,6 +1010,17 @@ def discriminator_apply(params: Params, config: DiscriminatorConfig, image,
             res = config.size >> (i - 1)
             blk_packed[i] = (block_in_ch[i - 1] <= packed_max_ch
                              and res >= 32)
+        # packing must be a contiguous PREFIX from block 1: the trunk packs
+        # the image once up front and unpacks exactly once (below); a
+        # packed block after an unpacked one would consume the wrong layout
+        # (and `taps` is only bound on the packed entry path). D widths
+        # normally grow with depth so qualifying blocks already form a
+        # prefix; for non-monotone pruned widths cut at the first gap.
+        for i in range(1, n_blocks + 1):
+            if not blk_packed[i]:
+                for j in range(i, n_blocks + 1):
+                    blk_packed[j] = False
+                break
 
     if packed and blk_packed[1]:
         from ..ops.packed import space_to_depth, packed_conv, \

@@ -103,10 +103,13 @@ def _axis_cells(L: int, sigma: int, P: int):
 def _gather_packed(K: jnp.ndarray, my: np.ndarray, mx: np.ndarray):
     """Build Wp[ey, ex, (qy qx ci), (py px co)] from K[dy, dx, ci, co] using
     static index maps (my/mx hold -1 for zero cells; K is padded with one
-    zero tap at index L so -1 maps there)."""
+    zero tap at index L so -1 maps there). The input-phase (q) dims follow
+    my/mx's second dim: 2 for a packed input, 1 when the input is unpacked
+    (the upsample family's trunk entry) — the reshape collapses whichever
+    phases are present."""
     L_y, L_x, ci, co = K.shape
     Kp = jnp.pad(K, ((0, 1), (0, 1), (0, 0), (0, 0)))
-    iy = np.where(my < 0, L_y, my)   # [Ey, 2, 2] -> index into padded K
+    iy = np.where(my < 0, L_y, my)   # [Ey, q, 2] -> index into padded K
     ix = np.where(mx < 0, L_x, mx)
     zy = my < 0
     zx = mx < 0
@@ -118,8 +121,8 @@ def _gather_packed(K: jnp.ndarray, my: np.ndarray, mx: np.ndarray):
     W = jnp.where(jnp.asarray(zz)[..., None, None], 0.0, W)
     # -> [Ey, Ex, (qy qx ci), (py px co)]
     W = W.transpose(0, 1, 2, 3, 6, 4, 5, 7)
-    Ey, Ex = W.shape[:2]
-    return W.reshape(Ey, Ex, 4 * ci, 4 * co)
+    Ey, Ex, qy, qx = W.shape[:4]
+    return W.reshape(Ey, Ex, qy * qx * ci, 4 * co)
 
 
 def compose_fir_2d(weight: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
@@ -258,26 +261,6 @@ def _axis_cells_up(L: int, P2: int, packed_in: bool):
     return Lp, Pp, m
 
 
-def _gather_up(K: jnp.ndarray, my: np.ndarray, mx: np.ndarray,
-               packed_in: bool):
-    """Wp for the upsample family; like _gather_packed but the input-phase
-    dim is absent when the input is unpacked."""
-    L_y, L_x, ci, co = K.shape
-    Kp = jnp.pad(K, ((0, 1), (0, 1), (0, 0), (0, 0)))
-    iy = np.where(my < 0, L_y, my)
-    ix = np.where(mx < 0, L_x, mx)
-    zy, zx = my < 0, mx < 0
-    gy = iy[:, None, :, None, :, None]
-    gx = ix[None, :, None, :, None, :]
-    zz = zy[:, None, :, None, :, None] | zx[None, :, None, :, None, :]
-    W = Kp[gy, gx]                    # [Ey, Ex, qy, qx, py, px, ci, co]
-    W = jnp.where(jnp.asarray(zz)[..., None, None], 0.0, W)
-    W = W.transpose(0, 1, 2, 3, 6, 4, 5, 7)
-    Ey, Ex, qy, qx = W.shape[:4]
-    nq = qy * qx
-    return W.reshape(Ey, Ex, nq * ci, 4 * co)
-
-
 def packed_conv_up(x: jnp.ndarray, weight: jnp.ndarray, *,
                    fir: np.ndarray | None,
                    fir_pad: tuple[int, int] | None,
@@ -295,7 +278,7 @@ def packed_conv_up(x: jnp.ndarray, weight: jnp.ndarray, *,
     K2, P2 = _compose_up_kernel(weight, fir, fir_pad, fir_gain)
     Lp_y, Pp_y, my = _axis_cells_up(K2.shape[0], P2, packed_in)
     Lp_x, Pp_x, mx = _axis_cells_up(K2.shape[1], P2, packed_in)
-    Wp = _gather_up(K2, my, mx, packed_in)
+    Wp = _gather_packed(K2, my, mx)
     if out_size is None:
         out_size = 2 * hg if packed_in else hg
     if packed_in:

@@ -112,7 +112,12 @@ def _rank1_taps(kernel) -> np.ndarray | None:
     row = k[i, :] / np.sqrt(abs(k[i, i]))
     if not np.allclose(np.outer(col, row), k, rtol=1e-6, atol=1e-12):
         return None
-    return col.astype(np.float32)  # symmetric separable: col == row
+    # the shifted-add path applies ONE tap vector on both axes — reject
+    # asymmetric separable kernels (outer([1,2],[2,1]) is rank-1 but needs
+    # different row/col taps); every model-family FIR is symmetric
+    if not np.allclose(col, row, rtol=1e-6, atol=1e-12):
+        return None
+    return col.astype(np.float32)
 
 
 def _separable_shift_fir(x, taps: np.ndarray, pad) -> jnp.ndarray:

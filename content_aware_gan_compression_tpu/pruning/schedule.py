@@ -50,6 +50,8 @@ def get_map_based_score(params, config, z, rng, metric, batch_size=10):
     equivalent for channel ranking and one generator pass instead of
     n_layers.
     """
+    if metric not in ("ASV", "l1-map", "l1-norm-ASV", "l2-norm-ASV"):
+        raise ValueError(f"unknown map metric {metric!r}")
     n = z.shape[0]
     n_batch = max(n // batch_size, 1)
     m = min(batch_size, n)  # per-chunk sample count

@@ -241,7 +241,7 @@ class Trainer:
                 self.g_params, self.g_opt_state, self.d_params, k_g,
                 self.teacher_params, self.lpips_params, self.parse_params)
             metrics.update(m)
-        else:
+        elif self._dg_step is not None:
             # fused single-jit D+G (bit-identical to the sequential pair,
             # tests/test_fused_step.py); splits its key into k_d/k_g inside
             (self.g_params, self.g_opt_state, self.d_params,
@@ -249,6 +249,17 @@ class Trainer:
                 self.g_params, self.g_opt_state, self.d_params,
                 self.d_opt_state, real, k_d, self.teacher_params,
                 self.lpips_params, self.parse_params)
+            metrics.update(m)
+        else:
+            # sequential fallback for subclasses that replace _g_step with a
+            # different G objective (SparsityTrainer sets _dg_step = None so
+            # its override is applied on EVERY iteration, not just R1 ones)
+            self.d_params, self.d_opt_state, m = self._d_step(
+                self.g_params, self.d_params, self.d_opt_state, real, k_d)
+            metrics.update(m)
+            self.g_params, self.g_opt_state, m = self._g_step(
+                self.g_params, self.g_opt_state, self.d_params, k_g,
+                self.teacher_params, self.lpips_params, self.parse_params)
             metrics.update(m)
 
         if iter_idx % cfg.g_reg_freq == 0:
@@ -413,7 +424,10 @@ class Trainer:
                 return False
             return not any(is_event(j) for j in range(i, i + K - 1))
 
-        last_reg = (0.0, 0.0, 0.0)
+        # strong-typed f32 scalars: Python floats would trace the K-step
+        # scan a second time (weak f32[] avals on dispatch 1 vs the strong
+        # f32 arrays it returns) — a full re-trace of the >800-leaf scan
+        last_reg = tuple(jnp.asarray(0.0, jnp.float32) for _ in range(3))
         pending_w = None
         try:
             iter_idx = self.start_iter

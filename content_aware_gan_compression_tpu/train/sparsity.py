@@ -180,6 +180,12 @@ class SparsityTrainer(Trainer):
             g_params = optax.apply_updates(g_params, updates)
             return g_params, g_opt_state, metrics
 
+        # The parent's fused D+G step and K-step scan close over the STANDARD
+        # G objective; with them active the sparse loss would only apply on
+        # the d_reg iterations (1 in 16). Disable both so Trainer.step takes
+        # the sequential path and this override runs every iteration.
+        self._dg_step = None
+        self._multi_step = None
         self._g_step = jax.jit(partial(g_step, g_opt=self.g_opt),
                                donate_argnums=(0, 1))
 

@@ -157,6 +157,46 @@ def test_ppl_score_runs_and_positive():
     assert np.isfinite(ppl) and ppl >= 0
 
 
+def test_ppl_sample_count_exact():
+    """The distance count equals --n_sample for every n_sample/batch_size
+    relation: residual batches are trimmed, and n_sample < batch_size runs
+    one trimmed batch instead of a full (overshooting) one."""
+    cfg = GeneratorConfig(size=16, style_dim=16, n_mlp=1,
+                          net_shape=(8, 8, 8, 8, 8, 8))
+    gp = generator_init(jax.random.PRNGKey(6), cfg)
+    lp = lpips_init(jax.random.PRNGKey(7))
+    for n_sample, batch in ((3, 4), (6, 4), (8, 4)):
+        _, d = get_ppl_score(gp, cfg, lp, n_sample=n_sample,
+                             batch_size=batch, rng=jax.random.PRNGKey(8),
+                             return_distances=True)
+        assert len(d) == n_sample, (n_sample, batch, len(d))
+
+
+def test_overlapped_fid_small_n_sample(tiny_inception):
+    """OverlappedFIDEval must produce a score even when n_sample <
+    batch_size (n_batch used to floor to 0 and advance() returned None
+    forever, silently dropping the in-loop FID line)."""
+    from content_aware_gan_compression_tpu.evaluation import OverlappedFIDEval
+
+    cfg = GeneratorConfig(size=16, style_dim=16, n_mlp=1,
+                          net_shape=(8, 8, 8, 8, 8, 8))
+    gp = generator_init(jax.random.PRNGKey(4), cfg)
+    feats = extract_feature_from_samples(
+        gp, cfg, tiny_inception, batch_size=2, n_sample=4,
+        rng=jax.random.PRNGKey(5))
+    stats = {"mean": feats.mean(0),
+             "cov": np.cov(feats, rowvar=False) + np.eye(2048) * 1e-3}
+    ev = OverlappedFIDEval(gp, cfg, tiny_inception, stats, batch_size=4,
+                           n_sample=2, rng=jax.random.PRNGKey(9))
+    score = None
+    for _ in range(4):  # a couple of fid_tick-style advances
+        score = ev.advance(1)
+        if score is not None:
+            break
+    assert score is not None and np.isfinite(score)
+    assert ev.done
+
+
 def test_slerp_endpoints():
     from content_aware_gan_compression_tpu.evaluation import slerp
     a = jnp.asarray(np.random.RandomState(9).randn(3, 8), jnp.float32)

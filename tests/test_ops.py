@@ -247,3 +247,21 @@ def test_blur_shifted_add_matches_depthwise_conv():
     np.testing.assert_array_equal(
         np.asarray(blur(xl, k, pad=(2, 1))),
         np.asarray(upfirdn2d(xl, k, pad=(2, 1))))
+
+
+def test_rank1_taps_rejects_asymmetric_separable():
+    """blur's shifted-add fast path applies ONE tap vector on both axes; an
+    asymmetric separable kernel (rank-1 but col != row) must fall back to
+    the depthwise-conv path instead of silently blurring with wrong taps."""
+    from content_aware_gan_compression_tpu.ops import blur
+    from content_aware_gan_compression_tpu.ops.upfirdn2d import (
+        upfirdn2d, _rank1_taps)
+
+    k = np.outer([1.0, 2.0], [2.0, 1.0])
+    k = jnp.asarray(k / k.sum(), jnp.float32)
+    assert _rank1_taps(k) is None
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 9, 9, 8), jnp.float32)
+    got = blur(x, k, pad=(1, 0))
+    want = upfirdn2d(x, k, up=1, down=1, pad=(1, 0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

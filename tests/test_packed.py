@@ -217,3 +217,25 @@ def test_packed_discriminator_parity():
     chaos = np.abs(g0 - g_ch).max() / scale
     dev = np.abs(g0 - g_pk).max() / scale
     assert dev <= max(4 * chaos, 1e-5), (dev, chaos)
+
+
+def test_packed_non_monotone_net_shape_falls_back():
+    """net widths are data (CLAUDE.md): a pruned net_shape whose high-res
+    pair is WIDER than packed_max_ch after a qualifying narrower pair must
+    not hand a packed tensor to an unpacked pair — packing is restricted to
+    a contiguous tail, falling back to unpacked for the odd shapes."""
+    from content_aware_gan_compression_tpu.models.stylegan2 import (
+        GeneratorConfig, generator_init, generator_apply)
+
+    # size 128: pair 3 (res 64) is narrow (qualifies), pair 4 (res 128) is
+    # wide (does not) — the old gating packed pair 3 and crashed pair 4
+    ns = (32, 32, 32, 32, 32, 32, 32, 32, 16, 16, 96, 96)
+    cfg = GeneratorConfig(size=128, net_shape=ns, n_mlp=1, style_dim=16)
+    params = generator_init(random.PRNGKey(0), cfg)
+    z = jnp.asarray(np.random.RandomState(1).randn(2, 16), jnp.float32)
+    k = random.PRNGKey(7)
+    a = generator_apply(params, cfg, [z], rng=k, output_format="NHWC")
+    b = generator_apply(params, cfg, [z], rng=k, output_format="NHWC",
+                        packed=True, packed_max_ch=64)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)

@@ -286,3 +286,15 @@ def test_streaming_map_score_matches_direct(gen_params):
             # paths produce O(1e-7) fp noise there with different signs
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5,
                                        err_msg=metric)
+
+
+def test_map_metric_validation():
+    """Unknown map-metric strings raise instead of silently scoring as
+    l2-norm-ASV (the streaming rewrite's bare else)."""
+    import pytest
+    from content_aware_gan_compression_tpu.pruning.schedule import (
+        get_map_based_score)
+
+    with pytest.raises(ValueError, match="unknown map metric"):
+        get_map_based_score(None, None, np.zeros((2, 8)), None,
+                            "l2-norm-asv")

@@ -63,3 +63,28 @@ def test_sparsity_trainer_with_prune_event(setup, tmp_path):
     assert "Sparse_Loss:" in log
     assert "-------After pruning------" in log
     assert "FLOPs %:" in log
+
+
+def test_sparse_objective_applies_every_iteration(setup):
+    """Regression: the parent Trainer's fused D+G step and K-step scan close
+    over the STANDARD G objective; SparsityTrainer must disable them so its
+    sparse G step (L1 style loss) runs on non-d_reg iterations too (they are
+    15 of every 16 at the reference cadence)."""
+    data_dir, ckpt = setup
+    cfg = TrainConfig(
+        data_folder=data_dir, generated_img_size=SIZE, latent=16, n_mlp=1,
+        ckpt=ckpt, teacher=None, batch_size=8, training_iters=100,
+        d_reg_freq=16, g_reg_freq=4, content_aware_KD=False,
+        kd_lpips_lambda=0.0)
+    trainer = SparsityTrainer(cfg, dict(sparsity_eta=1e-3))
+    assert trainer._dg_step is None
+    assert trainer._multi_step is None
+    rng = np.random.RandomState(0)
+    batch = (rng.rand(8, SIZE, SIZE, 3) * 255).astype(np.uint8)
+    import jax.numpy as jnp
+    mpl = jnp.asarray(0.0)
+    # iter 1: NOT a d_reg iteration -> previously took the fused standard
+    # step and never computed the sparse loss
+    metrics, _ = trainer.step(1, batch, mpl)
+    assert "sparse" in metrics
+    assert float(metrics["sparse"]) > 0.0
