@@ -69,8 +69,16 @@ def tile_channel_vector(v: jnp.ndarray) -> jnp.ndarray:
 def pack_noise(noise: jnp.ndarray, out_ch: int) -> jnp.ndarray:
     """Noise image [1, H, W, 1] -> [1, H/2, W/2, 4*out_ch] broadcastable
     against a packed feature map (each phase's value repeated across the
-    phase's channel block)."""
+    phase's channel block).
+
+    CAGC_PACKED_NOISE5D=1 (experiment): return the un-repeated
+    [1, H/2, W/2, 4] phase form instead; the styled-conv epilogue then adds
+    it in a 5-D phase view, avoiding the materialized repeat."""
+    import os
+
     n4 = space_to_depth(noise)  # [1, H/2, W/2, 4]
+    if os.environ.get("CAGC_PACKED_NOISE5D"):
+        return n4
     return jnp.repeat(n4, out_ch, axis=-1)
 
 
