@@ -121,7 +121,7 @@ def main():
         rd = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
         p = generator_init(jax.random.PRNGKey(0), g_config)
         f = jax.jit(lambda p, z, k: generator_apply(
-            p, g_config, [z], rng=k, dtype=dtype))
+            p, g_config, [z], rng=k, dtype=dtype, packed=args.packed))
         z = jax.random.normal(jax.random.PRNGKey(1), (args.batch_size, 512))
         float(rd(f(p, z, jax.random.PRNGKey(2))))
         t0 = _t.perf_counter()

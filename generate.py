@@ -21,6 +21,11 @@ def main():
     parser.add_argument("--n_mlp", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out_dir", type=str, default="sample")
+    parser.add_argument("--packed", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="space-to-depth packed trunk for lane-sparse "
+                             "high-res layers (exact math; the training "
+                             "default, ops/packed.py)")
     args = parser.parse_args()
 
     import jax
@@ -55,7 +60,7 @@ def main():
         z = jax.random.normal(kz, (args.sample, config.style_dim))
         sample = generator_apply(
             params, config, [z], truncation=args.truncation,
-            truncation_latent=mean_latent, rng=kn)
+            truncation_latent=mean_latent, rng=kn, packed=args.packed)
         path = os.path.join(args.out_dir, f"{str(i).zfill(6)}.png")
         save_image_grid(sample, path, nrow=int(args.sample ** 0.5))
         print(f"saved {path}")
