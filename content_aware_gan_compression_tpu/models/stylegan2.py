@@ -338,15 +338,7 @@ def _styled_conv(p, x, style_w, noise, *, up=False, blur_kernel=(1, 3, 3, 1),
         from ..ops.packed import tile_channel_vector
 
         nw = p["noise"]["weight"][0].astype(out.dtype)
-        if noise.shape[-1] == out.shape[-1]:
-            out = out + nw * noise.astype(out.dtype)
-        else:
-            # CAGC_PACKED_NOISE5D phase form [1,h,w,4]: add in the 5-D
-            # phase view instead of materializing the channel repeat
-            b_, h_, w_, c4 = out.shape
-            out = (out.reshape(b_, h_, w_, 4, c4 // 4)
-                   + (nw * noise.astype(out.dtype))[..., None]
-                   ).reshape(b_, h_, w_, c4)
+        out = out + nw * noise.astype(out.dtype)
         out = fused_leaky_relu(
             out, tile_channel_vector(p["activate"]["bias"]).astype(out.dtype))
         if return_style_scalars:

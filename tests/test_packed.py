@@ -128,27 +128,13 @@ def test_packed_conv_grads_exact():
                                rtol=2e-5, atol=1e-6)
 
 
-def test_pack_noise_and_channel_tiling(monkeypatch):
+def test_pack_noise_and_channel_tiling():
     rng = np.random.RandomState(3)
     n = jnp.asarray(rng.randn(1, 8, 8, 1), jnp.float32)
     x = jnp.asarray(rng.randn(2, 8, 8, 6), jnp.float32)
     want = x + n          # broadcast add, unpacked
-    monkeypatch.delenv("CAGC_PACKED_NOISE5D", raising=False)
     got = depth_to_space(space_to_depth(x) + pack_noise(n, 6))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-
-    # CAGC_PACKED_NOISE5D contract: un-repeated [1,h,w,4] phase form, added
-    # in the 5-D phase view (stylegan2.py:_styled_conv packed epilogue)
-    monkeypatch.setenv("CAGC_PACKED_NOISE5D", "1")
-    n4 = pack_noise(n, 6)
-    assert n4.shape == (1, 4, 4, 4)
-    xp = space_to_depth(x)
-    b_, h_, w_, c4 = xp.shape
-    got5 = depth_to_space(
-        (xp.reshape(b_, h_, w_, 4, c4 // 4) + n4[..., None]
-         ).reshape(b_, h_, w_, c4))
-    np.testing.assert_array_equal(np.asarray(got5), np.asarray(want))
-    monkeypatch.delenv("CAGC_PACKED_NOISE5D", raising=False)
 
     b = jnp.asarray(rng.randn(6), jnp.float32)
     want = x + b
