@@ -120,8 +120,11 @@ def main():
 
         rd = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
         p = generator_init(jax.random.PRNGKey(0), g_config)
+        # forward-only: pack only res>=512 pairs (generate.py default; the
+        # res-256 pair packing that wins in training loses here)
         f = jax.jit(lambda p, z, k: generator_apply(
-            p, g_config, [z], rng=k, dtype=dtype, packed=args.packed))
+            p, g_config, [z], rng=k, dtype=dtype, packed=args.packed,
+            packed_min_res=512))
         z = jax.random.normal(jax.random.PRNGKey(1), (args.batch_size, 512))
         float(rd(f(p, z, jax.random.PRNGKey(2))))
         t0 = _t.perf_counter()

@@ -502,7 +502,8 @@ def _noise_buffers_nhwc(params, config):
 
 def _synthesis(params, config, latent, noise, *, precision=None, dtype=None,
                return_style_scalars=False, remat=False,
-               packed=False, packed_max_ch: int = 64):
+               packed=False, packed_max_ch: int = 64,
+               packed_min_res: int = 64):
     """Core synthesis network: W+ latent [B, n_latent, D] + per-layer noise
     -> NHWC image + per-scale rgb skips (reference model.py:612-646).
 
@@ -511,9 +512,15 @@ def _synthesis(params, config, latent, noise, *, precision=None, dtype=None,
     what makes 1024px training fit comfortably (SURVEY section 7 stage 8).
 
     packed=True runs the lane-sparse high-res tail (every pair whose widths
-    are <= packed_max_ch, at res >= 64) in space-to-depth layout: styled
-    convs, noise, to_rgb and the rgb skip chain all stay packed
-    (ops/packed.py). Exact same math."""
+    are <= packed_max_ch, at res >= packed_min_res) in space-to-depth
+    layout: styled convs, noise, to_rgb and the rgb skip chain all stay
+    packed (ops/packed.py). Exact same math.
+
+    packed_min_res: training keeps the default 64 (packing a width-39
+    res-256 pair measured +1.5% on the 256px retrain bench); forward-only
+    generation passes 512 — at res <= 256 packing costs fwd throughput
+    (256px pruned student: 3823 unpacked vs 2742 packed img/s; excluding
+    the res-256 pair at 1024px: 381 vs 369 img/s; round 2)."""
     bk = config.blur_kernel
     batch = latent.shape[0]
 
@@ -525,7 +532,8 @@ def _synthesis(params, config, latent, noise, *, precision=None, dtype=None,
             i_ = pair + 1
             res = 2 ** (i_ + 2)
             pair_packed[pair] = (max(ns[2 * i_], ns[2 * i_ + 1])
-                                 <= packed_max_ch and res >= 64)
+                                 <= packed_max_ch
+                                 and res >= max(64, packed_min_res))
         # packing must be a contiguous TAIL: a packed pair hands its output
         # to the next pair in packed layout and there is no mid-trunk
         # unpack transition. Widths normally shrink with resolution so the
@@ -644,6 +652,7 @@ def generator_apply(
     remat: bool = False,
     packed: bool = False,
     packed_max_ch: int = 64,
+    packed_min_res: int = 64,
     output_format: str = "NCHW",
 ):
     """Generator forward (reference Generator.forward, model.py:545-666).
@@ -722,7 +731,8 @@ def generator_apply(
             img, _, _ = _synthesis(params, cfg, lat, noise,
                                    precision=precision, dtype=dtype,
                                    remat=remat, packed=packed,
-                                   packed_max_ch=packed_max_ch)
+                                   packed_max_ch=packed_max_ch,
+                                   packed_min_res=packed_min_res)
             return img
 
         image, vjp_fn = jax.vjp(synth, latent)
@@ -736,7 +746,8 @@ def generator_apply(
     image, rgb_list, styles_list = _synthesis(
         params, cfg, latent, noise, precision=precision, dtype=dtype,
         return_style_scalars=return_style_scalars, remat=remat,
-        packed=packed, packed_max_ch=packed_max_ch)
+        packed=packed, packed_max_ch=packed_max_ch,
+        packed_min_res=packed_min_res)
 
     if return_rgb_list:
         returns = [to_out(r) for r in rgb_list]

@@ -24,8 +24,12 @@ def main():
     parser.add_argument("--packed", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="space-to-depth packed trunk for lane-sparse "
-                             "high-res layers (exact math; the training "
-                             "default, ops/packed.py)")
+                             "high-res layers (exact math, ops/packed.py)")
+    parser.add_argument("--packed_min_res", type=int, default=512,
+                        help="pack only layer pairs at spatial res >= this; "
+                             "512 is the measured fwd-only optimum (packing "
+                             "res<=256 pairs costs generation throughput "
+                             "while helping training — stylegan2._synthesis)")
     args = parser.parse_args()
 
     import jax
@@ -60,7 +64,8 @@ def main():
         z = jax.random.normal(kz, (args.sample, config.style_dim))
         sample = generator_apply(
             params, config, [z], truncation=args.truncation,
-            truncation_latent=mean_latent, rng=kn, packed=args.packed)
+            truncation_latent=mean_latent, rng=kn, packed=args.packed,
+            packed_min_res=args.packed_min_res)
         path = os.path.join(args.out_dir, f"{str(i).zfill(6)}.png")
         save_image_grid(sample, path, nrow=int(args.sample ** 0.5))
         print(f"saved {path}")

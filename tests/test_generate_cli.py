@@ -46,7 +46,10 @@ def test_generate_cli_packed_matches_unpacked(tmp_path):
     ckpt = tmp_path / "tiny.npz"
     save_checkpoint(str(ckpt), {"g_ema": params})
 
-    p_pk = _run_generate(ckpt, tmp_path / "pk", ["--packed"])
+    # --packed_min_res 64 forces packing at this tiny size (the CLI's
+    # default 512 is the fwd-throughput gate and would pack nothing here)
+    p_pk = _run_generate(ckpt, tmp_path / "pk",
+                         ["--packed", "--packed_min_res", "64"])
     p_un = _run_generate(ckpt, tmp_path / "unpk", ["--no-packed"])
 
     from PIL import Image

@@ -180,6 +180,12 @@ def test_packed_generator_parity():
                               ppl_rng=kp, packed=True, packed_max_ch=64)
     np.testing.assert_allclose(np.asarray(pl_a), np.asarray(pl_b),
                                rtol=1e-3, atol=1e-5)
+    # packed_min_res above the model's max res gates every pair off:
+    # bitwise-identical to the unpacked forward (the generate.py fwd-only
+    # default is 512 — nothing packs below that size)
+    d = generator_apply(params, cfg, [z], rng=k, output_format="NHWC",
+                        packed=True, packed_max_ch=64, packed_min_res=512)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(d))
 
 
 def test_packed_discriminator_parity():
