@@ -34,7 +34,8 @@ def slerp(a, b, t):
     return normalize(a * jnp.cos(p) + c * jnp.sin(p))
 
 
-def _ppl_batch(g_params, lpips_params, config, z, lerp_t, rng, eps):
+def _ppl_batch(g_params, lpips_params, config, z, lerp_t, rng, eps,
+               packed=True):
     """One PPL batch: 2B z -> W -> lerp pairs (t, t+eps) -> interleave ->
     G(input_is_latent) -> optional 256px pool -> LPIPS between pair images
     (reference ppl.py:33-70, 100-115)."""
@@ -44,8 +45,13 @@ def _ppl_batch(g_params, lpips_params, config, z, lerp_t, rng, eps):
     e1 = lerp(t0, t1, lerp_t[:, None] + eps)
     latent_e = jnp.stack([e0, e1], 1).reshape(latent.shape)
 
+    # packed trunk, fwd-only res>=512 gate: exact math, a structural no-op
+    # below 512px. Measured @1024px full model (idle host): 40.5 vs 39.4
+    # pairs/s at batch 8, and packed fits batch 16 where unpacked OOMs
+    # (24G > 15.75G HBM).
     image = generator_apply(g_params, config, latent_styles=[latent_e],
-                            input_is_latent=True, rng=rng)
+                            input_is_latent=True, rng=rng,
+                            packed=packed, packed_min_res=512)
     if image.shape[2] // 256 > 1:
         n, c = image.shape[0], image.shape[1]
         # antialias=False == torch F.interpolate(bilinear) — reference
@@ -59,13 +65,14 @@ def _ppl_batch(g_params, lpips_params, config, z, lerp_t, rng, eps):
 def get_ppl_score(
     g_params, config, lpips_params, *, n_sample=5000, batch_size=64,
     eps=1e-4, rng=None, divide_eps_sq=False, info_print=False,
-    return_distances=False,
+    return_distances=False, packed=True,
 ):
     """PPL over n_sample pairs (reference Get_PPL_Score, ppl.py:74-128)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     n_batch = n_sample // batch_size
     resid = n_sample - n_batch * batch_size
-    step = jax.jit(partial(_ppl_batch, config=config, eps=eps))
+    step = jax.jit(partial(_ppl_batch, config=config, eps=eps,
+                           packed=packed))
 
     # Residual batch: the reference appends one more batch when n_sample
     # isn't divisible (Evaluation/ppl.py:84-91) — buggily at FULL batch size

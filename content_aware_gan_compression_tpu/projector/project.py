@@ -62,7 +62,7 @@ def noise_style_mixing(noises, inject_index):
 def image_projector(
     g_params, config, target_images, *, lpips_params=None, rng=None,
     per_layer_w=True, optimize_noise=True, opt="LBFGS", num_iters=800,
-    lr=None, avg_w_samples=4096, print_iters=None,
+    lr=None, avg_w_samples=4096, print_iters=None, packed=True,
 ):
     """Project target images (reference Image_Projector,
     Image2StyleGAN_util.py:8-105).
@@ -85,9 +85,13 @@ def image_projector(
     noises0 = generator_make_noise(k_noise, config, batch)
 
     def synth(latent, noises):
+        # packed trunk, res>=512-only gate: exact math (gradients wrt
+        # latent and noises flow through ops/packed.py's pure-lax
+        # rewrites), a no-op below 512px. Measured 1.9x @1024px: 37.0s vs
+        # 70.4s warm for 24 Adam iters (idle host).
         return generator_apply(
             g_params, config, latent_styles=[latent], input_is_latent=True,
-            noise=noises)
+            noise=noises, packed=packed, packed_min_res=512)
 
     if optimize_noise:
         opt_vars0 = {"latent": latent0, "noises": list(noises0)}

@@ -30,6 +30,11 @@ def main():
                              "(reference Evaluation/inception_ffhq_embed format)")
     parser.add_argument("--real_images", type=str, default=None,
                         help="folder of real images to build stats from")
+    parser.add_argument("--packed", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="packed trunk for the sample stream (exact "
+                             "math, fwd-only res>=512 gate; no-op below "
+                             "512px — ops/packed.py)")
     args = parser.parse_args()
 
     import jax
@@ -76,7 +81,7 @@ def main():
         g_params, config, inc_params, real_stats,
         batch_size=args.batch_size, num_sample=args.n_sample,
         rng=jax.random.PRNGKey(args.seed), info_print=args.info_print,
-        mesh=mesh)
+        mesh=mesh, packed=args.packed)
     print(f"Total time is: {round(time.time() - start_time, 4)}")
     print(f"FID Scores: {fid}\n")
 

@@ -26,6 +26,11 @@ def main():
     parser.add_argument("--divide_eps_sq", action="store_true", default=False,
                         help="divide by eps^2 (the reference's standalone "
                              "ppl.py __main__ does; its library path doesn't)")
+    parser.add_argument("--packed", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="packed trunk for the sample stream (exact "
+                             "math, res>=512 gate; no-op below 512px — "
+                             "evaluation/ppl.py)")
     args = parser.parse_args()
 
     import jax
@@ -56,7 +61,8 @@ def main():
         g_params, config, lpips_params, n_sample=args.n_sample,
         batch_size=args.batch_size, eps=args.eps,
         rng=jax.random.PRNGKey(args.seed),
-        divide_eps_sq=args.divide_eps_sq, info_print=args.info_print)
+        divide_eps_sq=args.divide_eps_sq, info_print=args.info_print,
+        packed=args.packed)
     print(f"Total time is: {round(time.time() - start_time, 4)}")
     print(f"PPL Scores: {ppl}\n")
 

@@ -21,6 +21,10 @@ def main():
     parser.add_argument("--opt", type=str, default="LBFGS",
                         choices=["LBFGS", "Adam"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--packed", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="packed trunk (exact math, res>=512 gate; "
+                             "no-op below 512px — projector/project.py)")
     parser.add_argument("--lpips_vgg_ckpt", type=str,
                         default="./Model/metrics/vgg16_torchvision.pth")
     parser.add_argument("--lpips_lins_ckpt", type=str,
@@ -66,7 +70,7 @@ def main():
         params, config, target, lpips_params=lpips_params,
         rng=jax.random.PRNGKey(args.seed), opt=args.opt,
         num_iters=args.num_iters,
-        print_iters=100 if args.info_print else None)
+        print_iters=100 if args.info_print else None, packed=args.packed)
 
     out_img = np.asarray(output)[0]
     out_uint8 = ((np.clip(out_img, -1, 1) + 1) * 127.5 + 0.5).clip(0, 255)
