@@ -67,15 +67,25 @@ def tile_channel_vector(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_noise(noise: jnp.ndarray, out_ch: int) -> jnp.ndarray:
-    """Noise image [1, H, W, 1] -> [1, H/2, W/2, 4*out_ch] broadcastable
+    """Noise image [*, H, W, 1] -> [*, H/2, W/2, 4*out_ch] broadcastable
     against a packed feature map (each phase's value repeated across the
     phase's channel block).
 
-    A 5-D phase-view add that avoids materializing the repeat was measured
-    exactly neutral at 1024px (2.898 it/s both ways, round 2) — the packed
-    boundary layout copies come from the conv->epilogue relayout, not this
-    broadcast — so the simple repeated form stays."""
-    n4 = space_to_depth(noise)  # [1, H/2, W/2, 4]
+    Negative result (round 2, measured end-to-end at 1024px batch 8): the
+    relayout copies XLA:TPU inserts where this repeated tensor meets the
+    packed conv's elementwise epilogue ({2,3,1,0} <-> {3,0,2,1}) CAN be
+    eliminated by expressing the repeat as binary-kernel convs, whose
+    outputs arrive conv-native — HLO copy bytes drop 1325 MB -> 184 MB
+    (teacher width, fwd+bwd pair) — but every conv form is SLOWER end to
+    end than just paying the copies: single fused [2,2,1,4C] stride-2 conv
+    2.794 it/s (-3.6%), [2,2,1,4]+[1,1,4,4C] two-conv 2.732 (-5.7%),
+    space_to_depth + [1,1,4,4C] repeat-conv 2.786 (-3.9%), vs 2.898 for
+    this plain reshape+repeat, which XLA fuses into the consumer instead
+    of materializing through the conv emitter. A 5-D phase-view add (no
+    materialized repeat) was exactly neutral. So: the simple form stays;
+    the ~9%-of-iter copy time at 1024px is load-bearing layout glue, not
+    recoverable via noise-side rewrites."""
+    n4 = space_to_depth(noise)  # [*, H/2, W/2, 4]
     return jnp.repeat(n4, out_ch, axis=-1)
 
 

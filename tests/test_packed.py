@@ -142,6 +142,25 @@ def test_pack_noise_and_channel_tiling():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_pack_noise_bf16_batched_and_grad():
+    """pack_noise on bf16 batched noise: exact values and a flowing gradient
+    (the projector optimizes noise buffers). Conv-form rewrites of this
+    repeat were measured slower end-to-end and rejected (packed.py docstring)
+    — whatever the formulation, these invariants must hold."""
+    rng = np.random.RandomState(4)
+    for batch in (1, 3):
+        n = jnp.asarray(rng.randn(batch, 8, 8, 1), jnp.bfloat16)
+        got = pack_noise(n, 5)
+        want = jnp.repeat(space_to_depth(n), 5, axis=-1)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32))
+    n = jnp.asarray(rng.randn(1, 8, 8, 1), jnp.bfloat16)
+    g = jax.grad(lambda t: jnp.sum(pack_noise(t, 5).astype(jnp.float32)))(n)
+    np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                  np.full((1, 8, 8, 1), 5.0, np.float32))
+
+
 def test_packed_generator_parity():
     """generator_apply(packed=True) — synthesis tail in packed layout
     (styled up/s1 convs, noise, to_rgb, skip chain) — matches the
