@@ -176,3 +176,23 @@ def test_tf_var_converter_roundtrip():
                           randomize_noise=False)
     assert img.shape == (1, 3, 16, 16)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_cli_str2bool_accepts_false():
+    """`--content_aware_KD False` must parse to False (the reference's
+    type=bool declaration parses every non-empty string truthy — a
+    deliberately-fixed footgun, docs/PARITY.md)."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from train import str2bool
+
+    assert str2bool("False") is False
+    assert str2bool("false") is False
+    assert str2bool("0") is False
+    assert str2bool("True") is True
+    assert str2bool("1") is True
+    import pytest as _pytest
+    with _pytest.raises(argparse.ArgumentTypeError):
+        str2bool("maybe")

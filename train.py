@@ -10,6 +10,20 @@ import argparse
 import os
 
 
+def str2bool(v):
+    """Real boolean parsing for value-style flags (`--content_aware_KD
+    False`). The reference uses `type=bool`, under which every non-empty
+    string — including "False" — parses truthy (reference train.py:38,60);
+    that bug is deliberately NOT replicated (docs/PARITY.md)."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "t", "yes", "y", "1"):
+        return True
+    if v.lower() in ("false", "f", "no", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def main():
     from content_aware_gan_compression_tpu.train import TrainConfig
 
@@ -22,7 +36,7 @@ def main():
                         default=hp.channel_multiplier)
     parser.add_argument("--latent", type=int, default=hp.latent)
     parser.add_argument("--n_mlp", type=int, default=hp.n_mlp)
-    parser.add_argument("--load_train_state", type=bool,
+    parser.add_argument("--load_train_state", type=str2bool,
                         default=hp.load_train_state)
     parser.add_argument("--iter", type=int, default=hp.training_iters)
     parser.add_argument("--batch_size", type=int, default=hp.batch_size)
@@ -47,7 +61,7 @@ def main():
     parser.add_argument("--kd_lpips_lambda", type=float,
                         default=hp.kd_lpips_lambda)
     parser.add_argument("--kd_mode", type=str, default=hp.kd_mode)
-    parser.add_argument("--content_aware_KD", type=bool,
+    parser.add_argument("--content_aware_KD", type=str2bool,
                         default=hp.content_aware_KD)
     # TPU-native extras
     parser.add_argument("--seed", type=int, default=0)

@@ -8,6 +8,8 @@ import os
 
 
 def main():
+    from train import str2bool
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--path", type=str, default="")
     parser.add_argument("--size", type=int, default=256)
@@ -15,7 +17,7 @@ def main():
     parser.add_argument("--latent", type=int, default=512)
     parser.add_argument("--n_mlp", type=int, default=8)
     parser.add_argument("--ckpt", type=str, default=None)
-    parser.add_argument("--load_train_state", type=bool, default=False)
+    parser.add_argument("--load_train_state", type=str2bool, default=False)
     parser.add_argument("--iter", type=int, default=200001)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--lr", type=float, default=0.002)
