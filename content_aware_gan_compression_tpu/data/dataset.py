@@ -71,6 +71,98 @@ class FFHQDataset:
         return arr / 127.5 - 1.0
 
 
+class Uint8CacheDataset:
+    """Pre-resized uint8 memmap cache — the TPU-native analog of the
+    reference's pre-resized JPEG-in-LMDB store (Miscellaneous/
+    prepare_data.py): decode+resize are paid ONCE at build time; training
+    reads are pure page-cache memcpy, which is what lets a 1-core host feed
+    >100 img/s to the device (PIL decode of full-res FFHQ tops out far
+    below the step rate — measured in tools/bench_loader.py)."""
+
+    def __init__(self, cache_path: str, random_flip: bool = True):
+        self._arr = np.load(cache_path, mmap_mode="r")
+        if self._arr.ndim != 4 or self._arr.shape[-1] != 3 \
+                or self._arr.dtype != np.uint8:
+            raise ValueError(
+                f"{cache_path}: expected uint8 [N, H, W, 3], "
+                f"got {self._arr.dtype} {self._arr.shape}")
+        self.size = self._arr.shape[1]
+        self.random_flip = random_flip
+        self.cache_path = cache_path
+
+    def __len__(self):
+        return self._arr.shape[0]
+
+    def load_uint8(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        img = np.asarray(self._arr[index])
+        if self.random_flip and rng.random() < 0.5:
+            img = img[:, ::-1]
+        return img
+
+    def load(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        arr = self.load_uint8(index, rng).astype(np.float32)
+        return arr.transpose(2, 0, 1) / 127.5 - 1.0
+
+    def load_batch_uint8(self, idxs, rng: np.random.Generator) -> np.ndarray:
+        """Whole batch in one fancy-index read + vectorized flips — no
+        thread pool, no per-image Python."""
+        batch = self._arr[np.sort(np.asarray(idxs))]  # sorted = sequential IO
+        batch = np.ascontiguousarray(batch)
+        if self.random_flip:
+            flips = rng.random(len(idxs)) < 0.5
+            if flips.any():
+                batch[flips] = batch[flips, :, ::-1]
+        return batch
+
+
+def cache_path_for(image_folder: str, size: int) -> str:
+    """Canonical cache location for a source folder."""
+    return os.path.join(image_folder, f"uint8_cache_{size}.npy")
+
+
+def build_uint8_cache(image_folder: str, size: int,
+                      cache_path: str | None = None, *, num_workers: int = 8,
+                      info_print: bool = False) -> str:
+    """Decode+resize every image in `image_folder` once into a uint8
+    [N, size, size, 3] .npy memmap (written atomically via a temp file).
+
+    The resize is BILINEAR: the cache replaces the TRAIN-TIME transform
+    (reference train.py:463-470 transforms.Resize), not prepare_data's
+    LANCZOS dataset prep — cached reads must be byte-identical to what the
+    decode-per-read path would have produced (minus the flip, applied at
+    read time)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ds = FFHQDataset(image_folder, size, random_flip=False)
+    cache_path = cache_path or cache_path_for(image_folder, size)
+    tmp = cache_path + ".tmp"
+    out = np.lib.format.open_memmap(
+        tmp, mode="w+", dtype=np.uint8, shape=(len(ds), size, size, 3))
+    rng = np.random.default_rng(0)  # unused (no flip)
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for i, img in enumerate(pool.map(
+                lambda j: ds.load_uint8(j, rng), range(len(ds)))):
+            out[i] = img
+            if info_print and (i + 1) % 1000 == 0:
+                print(f"uint8 cache: {i + 1}/{len(ds)}")
+    out.flush()
+    del out
+    os.replace(tmp, cache_path)
+    return cache_path
+
+
+def open_dataset(path: str, size: int, random_flip: bool = True):
+    """Open `path` as the fastest available dataset: a .npy cache file
+    directly, a folder with a matching prebuilt cache, or the plain
+    decode-per-read image folder."""
+    if path.endswith(".npy"):
+        return Uint8CacheDataset(path, random_flip=random_flip)
+    cache = cache_path_for(path, size)
+    if os.path.exists(cache):
+        return Uint8CacheDataset(cache, random_flip=random_flip)
+    return FFHQDataset(path, size, random_flip=random_flip)
+
+
 def data_loader(dataset: FFHQDataset, batch_size: int, *, seed: int = 0,
                 num_workers: int = 8, prefetch: int = 4, drop_last=True,
                 uint8_hwc: bool = False):
@@ -87,6 +179,8 @@ def data_loader(dataset: FFHQDataset, batch_size: int, *, seed: int = 0,
         """Decode with PIL threads; transform (flip+resize+normalize+CHW)
         through the native C++ library when available, else per-image."""
         if uint8_hwc:
+            if hasattr(dataset, "load_batch_uint8"):
+                return dataset.load_batch_uint8(idxs, rng)
             seeds = rng.integers(0, 2 ** 31, size=len(idxs))
             futs = [pool.submit(dataset.load_uint8, int(i),
                                 np.random.default_rng(int(s)))

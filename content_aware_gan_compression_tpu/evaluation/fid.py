@@ -50,10 +50,16 @@ def extract_feature_from_samples(
 
     With `mesh`, each latent batch is sharded over the data axis so the
     50k-sample stream runs data-parallel across the slice (the reference
-    DataParallels both G and inception, fid.py:98-105)."""
+    DataParallels both G and inception, fid.py:98-105).
+
+    Every device batch has the SAME static shape (batch_size): a residual
+    n_sample % batch_size is covered by one extra full batch whose surplus
+    feature rows are dropped on the host. One jit trace total — a
+    shape-changing residual batch would pay a second full XLA compile
+    (multiple minutes at 1024px through the remote-compile tunnel) for one
+    batch of work."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    n_batch = n_sample // batch_size
-    resid = n_sample - (n_batch - 1) * batch_size
+    n_batch = max(1, -(-n_sample // batch_size))
     step = jax.jit(partial(_feature_step, config=config,
                            truncation=truncation,
                            truncation_latent=truncation_latent,
@@ -67,15 +73,14 @@ def extract_feature_from_samples(
 
     feats = []
     for idx in range(n_batch):
-        bs = batch_size if idx < n_batch - 1 else resid
         rng, kz, kn = jax.random.split(rng, 3)
-        z = jax.random.normal(kz, (bs, config.style_dim))
-        if shard is not None and bs % mesh.size == 0:
+        z = jax.random.normal(kz, (batch_size, config.style_dim))
+        if shard is not None and batch_size % mesh.size == 0:
             z = jax.device_put(z, shard)
         if info_print and idx % 50 == 0:
             print(f"FID features: batch {idx + 1}/{n_batch}")
         feats.append(np.asarray(step(g_params, inc_params, z=z, rng=kn)))
-    return np.concatenate(feats, axis=0).astype(np.float64)
+    return np.concatenate(feats, axis=0)[:n_sample].astype(np.float64)
 
 
 def calc_fid(sample_mean, sample_cov, real_mean, real_cov, eps=1e-6):
@@ -154,10 +159,10 @@ class OverlappedFIDEval:
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._cfg = config
         self._bs = batch_size
-        # n_sample < batch_size => ONE batch of n_sample (n_batch would be 0
-        # and advance() would silently never produce a score)
-        self._n_batch = max(1, n_sample // batch_size)
-        self._resid = n_sample - (self._n_batch - 1) * batch_size
+        # fixed-shape batches only (one jit trace): ceil(n/b) full batches,
+        # surplus feature rows dropped at scoring time
+        self._n_sample = n_sample
+        self._n_batch = max(1, -(-n_sample // batch_size))
         self._step = jax.jit(partial(
             _feature_step, config=config, truncation=truncation,
             truncation_latent=truncation_latent, packed=packed))
@@ -183,10 +188,9 @@ class OverlappedFIDEval:
         for _ in range(n_batches):
             if self._idx >= self._n_batch:
                 break
-            bs = self._bs if self._idx < self._n_batch - 1 else self._resid
             self._rng, kz, kn = jax.random.split(self._rng, 3)
-            z = jax.random.normal(kz, (bs, self._cfg.style_dim))
-            if self._shard is not None and bs % self._mesh_size == 0:
+            z = jax.random.normal(kz, (self._bs, self._cfg.style_dim))
+            if self._shard is not None and self._bs % self._mesh_size == 0:
                 z = jax.device_put(z, self._shard)
             feats = self._step(self._g, self._inc, z=z, rng=kn)
             if self._pending is not None:
@@ -199,7 +203,8 @@ class OverlappedFIDEval:
             t0 = time.time()
             self._feats.append(np.asarray(self._pending))
             self._pending = None
-            features = np.concatenate(self._feats, 0).astype(np.float64)
+            features = np.concatenate(
+                self._feats, 0)[:self._n_sample].astype(np.float64)
             self._feats = []
             self._g = None  # release the snapshot HBM
             score = calc_fid(np.mean(features, 0),

@@ -215,40 +215,48 @@ def _init_block(key, i, o, stride):
     return p
 
 
-def bisenet_init(key, n_classes: int = N_CLASSES):
+def bisenet_init(key, n_classes: int = N_CLASSES, width_scale: float = 1.0):
+    """Random BiSeNet params. width_scale < 1 shrinks every internal channel
+    count (floor 4) while keeping the exact module topology — the apply fn
+    reads all widths from the arrays, so a scaled tree runs unchanged. Used
+    by sharding dryruns where a full-width compile would blow the 1-core
+    host's budget; real use imports the trained 79999_iter.pth."""
+    def w(c):
+        return max(4, int(c * width_scale))
+
     ks = iter(random.split(key, 32))
     resnet = {
-        "conv1": _init_conv(next(ks), 64, 3, 7), "bn1": _init_bn(64),
-        "layer1": {"0": _init_block(next(ks), 64, 64, 1),
-                   "1": _init_block(next(ks), 64, 64, 1)},
-        "layer2": {"0": _init_block(next(ks), 64, 128, 2),
-                   "1": _init_block(next(ks), 128, 128, 1)},
-        "layer3": {"0": _init_block(next(ks), 128, 256, 2),
-                   "1": _init_block(next(ks), 256, 256, 1)},
-        "layer4": {"0": _init_block(next(ks), 256, 512, 2),
-                   "1": _init_block(next(ks), 512, 512, 1)},
+        "conv1": _init_conv(next(ks), w(64), 3, 7), "bn1": _init_bn(w(64)),
+        "layer1": {"0": _init_block(next(ks), w(64), w(64), 1),
+                   "1": _init_block(next(ks), w(64), w(64), 1)},
+        "layer2": {"0": _init_block(next(ks), w(64), w(128), 2),
+                   "1": _init_block(next(ks), w(128), w(128), 1)},
+        "layer3": {"0": _init_block(next(ks), w(128), w(256), 2),
+                   "1": _init_block(next(ks), w(256), w(256), 1)},
+        "layer4": {"0": _init_block(next(ks), w(256), w(512), 2),
+                   "1": _init_block(next(ks), w(512), w(512), 1)},
     }
     cp = {
         "resnet": resnet,
-        "arm16": {"conv": _init_cbr(next(ks), 256, 128),
-                  "conv_atten": _init_conv(next(ks), 128, 128, 1),
-                  "bn_atten": _init_bn(128)},
-        "arm32": {"conv": _init_cbr(next(ks), 512, 128),
-                  "conv_atten": _init_conv(next(ks), 128, 128, 1),
-                  "bn_atten": _init_bn(128)},
-        "conv_head32": _init_cbr(next(ks), 128, 128),
-        "conv_head16": _init_cbr(next(ks), 128, 128),
-        "conv_avg": _init_cbr(next(ks), 512, 128, k=1),
+        "arm16": {"conv": _init_cbr(next(ks), w(256), w(128)),
+                  "conv_atten": _init_conv(next(ks), w(128), w(128), 1),
+                  "bn_atten": _init_bn(w(128))},
+        "arm32": {"conv": _init_cbr(next(ks), w(512), w(128)),
+                  "conv_atten": _init_conv(next(ks), w(128), w(128), 1),
+                  "bn_atten": _init_bn(w(128))},
+        "conv_head32": _init_cbr(next(ks), w(128), w(128)),
+        "conv_head16": _init_cbr(next(ks), w(128), w(128)),
+        "conv_avg": _init_cbr(next(ks), w(512), w(128), k=1),
     }
     return {
         "cp": cp,
-        "ffm": {"convblk": _init_cbr(next(ks), 256, 256, k=1),
-                "conv1": _init_conv(next(ks), 64, 256, 1),
-                "conv2": _init_conv(next(ks), 256, 64, 1)},
-        "conv_out": {"conv": _init_cbr(next(ks), 256, 256),
-                     "conv_out": _init_conv(next(ks), n_classes, 256, 1)},
-        "conv_out16": {"conv": _init_cbr(next(ks), 128, 64),
-                       "conv_out": _init_conv(next(ks), n_classes, 64, 1)},
-        "conv_out32": {"conv": _init_cbr(next(ks), 128, 64),
-                       "conv_out": _init_conv(next(ks), n_classes, 64, 1)},
+        "ffm": {"convblk": _init_cbr(next(ks), w(256), w(256), k=1),
+                "conv1": _init_conv(next(ks), w(64), w(256), 1),
+                "conv2": _init_conv(next(ks), w(256), w(64), 1)},
+        "conv_out": {"conv": _init_cbr(next(ks), w(256), w(256)),
+                     "conv_out": _init_conv(next(ks), n_classes, w(256), 1)},
+        "conv_out16": {"conv": _init_cbr(next(ks), w(128), w(64)),
+                       "conv_out": _init_conv(next(ks), n_classes, w(64), 1)},
+        "conv_out32": {"conv": _init_cbr(next(ks), w(128), w(64)),
+                       "conv_out": _init_conv(next(ks), n_classes, w(64), 1)},
     }

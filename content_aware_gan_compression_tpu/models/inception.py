@@ -197,74 +197,95 @@ def _init_bc(key, cin, cout, kh, kw=None):
     }
 
 
-def inception_init(key):
+def inception_init(key, width_scale: float = 1.0):
+    """Random InceptionV3 params (tests / dryruns; real FID imports weights).
+    width_scale < 1 shrinks every internal channel count (floor 4, topology
+    unchanged — inception_pool3 reads all widths from the arrays; the
+    feature dim then comes from pool3_dim(params), not POOL3_DIM). Pick a
+    scale that divides every width exactly (1/2, 1/4, 1/8) or concat-fed
+    input widths stop matching their producers' floored sums."""
+    def w(c):
+        return c if c == 3 else max(4, int(c * width_scale))
+
+    def bc(key, cin, cout, kh, kw=None):
+        return _init_bc(key, w(cin), w(cout), kh, kw)
+
     ks = iter(random.split(key, 128))
 
     def a_block(cin, pool):
         return {
-            "branch1x1": _init_bc(next(ks), cin, 64, 1),
-            "branch5x5_1": _init_bc(next(ks), cin, 48, 1),
-            "branch5x5_2": _init_bc(next(ks), 48, 64, 5),
-            "branch3x3dbl_1": _init_bc(next(ks), cin, 64, 1),
-            "branch3x3dbl_2": _init_bc(next(ks), 64, 96, 3),
-            "branch3x3dbl_3": _init_bc(next(ks), 96, 96, 3),
-            "branch_pool": _init_bc(next(ks), cin, pool, 1),
+            "branch1x1": bc(next(ks), cin, 64, 1),
+            "branch5x5_1": bc(next(ks), cin, 48, 1),
+            "branch5x5_2": bc(next(ks), 48, 64, 5),
+            "branch3x3dbl_1": bc(next(ks), cin, 64, 1),
+            "branch3x3dbl_2": bc(next(ks), 64, 96, 3),
+            "branch3x3dbl_3": bc(next(ks), 96, 96, 3),
+            "branch_pool": bc(next(ks), cin, pool, 1),
         }
 
     def c_block(c7):
         return {
-            "branch1x1": _init_bc(next(ks), 768, 192, 1),
-            "branch7x7_1": _init_bc(next(ks), 768, c7, 1),
-            "branch7x7_2": _init_bc(next(ks), c7, c7, 1, 7),
-            "branch7x7_3": _init_bc(next(ks), c7, 192, 7, 1),
-            "branch7x7dbl_1": _init_bc(next(ks), 768, c7, 1),
-            "branch7x7dbl_2": _init_bc(next(ks), c7, c7, 7, 1),
-            "branch7x7dbl_3": _init_bc(next(ks), c7, c7, 1, 7),
-            "branch7x7dbl_4": _init_bc(next(ks), c7, c7, 7, 1),
-            "branch7x7dbl_5": _init_bc(next(ks), c7, 192, 1, 7),
-            "branch_pool": _init_bc(next(ks), 768, 192, 1),
+            "branch1x1": bc(next(ks), 768, 192, 1),
+            "branch7x7_1": bc(next(ks), 768, c7, 1),
+            "branch7x7_2": bc(next(ks), c7, c7, 1, 7),
+            "branch7x7_3": bc(next(ks), c7, 192, 7, 1),
+            "branch7x7dbl_1": bc(next(ks), 768, c7, 1),
+            "branch7x7dbl_2": bc(next(ks), c7, c7, 7, 1),
+            "branch7x7dbl_3": bc(next(ks), c7, c7, 1, 7),
+            "branch7x7dbl_4": bc(next(ks), c7, c7, 7, 1),
+            "branch7x7dbl_5": bc(next(ks), c7, 192, 1, 7),
+            "branch_pool": bc(next(ks), 768, 192, 1),
         }
 
     def e_block(cin):
         return {
-            "branch1x1": _init_bc(next(ks), cin, 320, 1),
-            "branch3x3_1": _init_bc(next(ks), cin, 384, 1),
-            "branch3x3_2a": _init_bc(next(ks), 384, 384, 1, 3),
-            "branch3x3_2b": _init_bc(next(ks), 384, 384, 3, 1),
-            "branch3x3dbl_1": _init_bc(next(ks), cin, 448, 1),
-            "branch3x3dbl_2": _init_bc(next(ks), 448, 384, 3),
-            "branch3x3dbl_3a": _init_bc(next(ks), 384, 384, 1, 3),
-            "branch3x3dbl_3b": _init_bc(next(ks), 384, 384, 3, 1),
-            "branch_pool": _init_bc(next(ks), cin, 192, 1),
+            "branch1x1": bc(next(ks), cin, 320, 1),
+            "branch3x3_1": bc(next(ks), cin, 384, 1),
+            "branch3x3_2a": bc(next(ks), 384, 384, 1, 3),
+            "branch3x3_2b": bc(next(ks), 384, 384, 3, 1),
+            "branch3x3dbl_1": bc(next(ks), cin, 448, 1),
+            "branch3x3dbl_2": bc(next(ks), 448, 384, 3),
+            "branch3x3dbl_3a": bc(next(ks), 384, 384, 1, 3),
+            "branch3x3dbl_3b": bc(next(ks), 384, 384, 3, 1),
+            "branch_pool": bc(next(ks), cin, 192, 1),
         }
 
     return {
-        "Conv2d_1a_3x3": _init_bc(next(ks), 3, 32, 3),
-        "Conv2d_2a_3x3": _init_bc(next(ks), 32, 32, 3),
-        "Conv2d_2b_3x3": _init_bc(next(ks), 32, 64, 3),
-        "Conv2d_3b_1x1": _init_bc(next(ks), 64, 80, 1),
-        "Conv2d_4a_3x3": _init_bc(next(ks), 80, 192, 3),
+        "Conv2d_1a_3x3": bc(next(ks), 3, 32, 3),
+        "Conv2d_2a_3x3": bc(next(ks), 32, 32, 3),
+        "Conv2d_2b_3x3": bc(next(ks), 32, 64, 3),
+        "Conv2d_3b_1x1": bc(next(ks), 64, 80, 1),
+        "Conv2d_4a_3x3": bc(next(ks), 80, 192, 3),
         "Mixed_5b": a_block(192, 32),
         "Mixed_5c": a_block(256, 64),
         "Mixed_5d": a_block(288, 64),
         "Mixed_6a": {
-            "branch3x3": _init_bc(next(ks), 288, 384, 3),
-            "branch3x3dbl_1": _init_bc(next(ks), 288, 64, 1),
-            "branch3x3dbl_2": _init_bc(next(ks), 64, 96, 3),
-            "branch3x3dbl_3": _init_bc(next(ks), 96, 96, 3),
+            "branch3x3": bc(next(ks), 288, 384, 3),
+            "branch3x3dbl_1": bc(next(ks), 288, 64, 1),
+            "branch3x3dbl_2": bc(next(ks), 64, 96, 3),
+            "branch3x3dbl_3": bc(next(ks), 96, 96, 3),
         },
         "Mixed_6b": c_block(128),
         "Mixed_6c": c_block(160),
         "Mixed_6d": c_block(160),
         "Mixed_6e": c_block(192),
         "Mixed_7a": {
-            "branch3x3_1": _init_bc(next(ks), 768, 192, 1),
-            "branch3x3_2": _init_bc(next(ks), 192, 320, 3),
-            "branch7x7x3_1": _init_bc(next(ks), 768, 192, 1),
-            "branch7x7x3_2": _init_bc(next(ks), 192, 192, 1, 7),
-            "branch7x7x3_3": _init_bc(next(ks), 192, 192, 7, 1),
-            "branch7x7x3_4": _init_bc(next(ks), 192, 192, 3),
+            "branch3x3_1": bc(next(ks), 768, 192, 1),
+            "branch3x3_2": bc(next(ks), 192, 320, 3),
+            "branch7x7x3_1": bc(next(ks), 768, 192, 1),
+            "branch7x7x3_2": bc(next(ks), 192, 192, 1, 7),
+            "branch7x7x3_3": bc(next(ks), 192, 192, 7, 1),
+            "branch7x7x3_4": bc(next(ks), 192, 192, 3),
         },
         "Mixed_7b": e_block(1280),
         "Mixed_7c": e_block(2048),
     }
+
+
+def pool3_dim(params) -> int:
+    """Feature dim of inception_pool3 for THESE params (2048 at full width;
+    smaller for width-scaled dryrun trees): the Mixed_7c concat width."""
+    b = params["Mixed_7c"]
+    return int(sum(b[k]["conv"]["weight"].shape[0] for k in (
+        "branch1x1", "branch3x3_2a", "branch3x3_2b",
+        "branch3x3dbl_3a", "branch3x3dbl_3b", "branch_pool")))

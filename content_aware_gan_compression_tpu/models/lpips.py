@@ -80,10 +80,14 @@ def vgg16_features(params, img_nchw):
 
 
 def lpips_apply(params, in0_nchw, in1_nchw, *, normalize=False,
-                spatial=False, ret_per_layer=False):
+                spatial=False, ret_per_layer=False, dtype=None):
     """LPIPS(in0, in1). Inputs in [-1, 1] (or [0, 1] with normalize=True,
     matching PerceptualLoss.forward, lpips/__init__.py:26-40).
-    Returns [N, 1, 1, 1] like the reference."""
+    Returns [N, 1, 1, 1] like the reference.
+
+    dtype: compute dtype for the VGG trunk (the scaling layer stays f32).
+    bfloat16 is the TPU fast path for the KD-LPIPS term; None keeps exact
+    f32 (the CPU parity-test configuration)."""
     if normalize:
         in0_nchw = 2 * in0_nchw - 1
         in1_nchw = 2 * in1_nchw - 1
@@ -91,12 +95,20 @@ def lpips_apply(params, in0_nchw, in1_nchw, *, normalize=False,
     scale = jnp.asarray(_SCALE).reshape(1, 3, 1, 1)
     x0 = (in0_nchw - shift) / scale
     x1 = (in1_nchw - shift) / scale
+    if dtype is not None:
+        x0, x1 = x0.astype(dtype), x1.astype(dtype)
 
     f0 = vgg16_features(params["vgg"], x0)
     f1 = vgg16_features(params["vgg"], x1)
 
     res = []
     for kk, (a, b) in enumerate(zip(f0, f1)):
+        if dtype is not None:
+            # the head math (unit-normalize = a 512-term reduction, squared
+            # diff, calibration sum) runs f32 even on the bf16 fast path —
+            # elementwise cost is negligible next to the conv trunk, and
+            # bf16's 8-bit mantissa visibly degrades the normalization
+            a, b = a.astype(jnp.float32), b.astype(jnp.float32)
         # unit-normalize over channels (NHWC last axis), eps=1e-10
         na = a / (jnp.sqrt(jnp.sum(jnp.square(a), axis=-1, keepdims=True)) + 1e-10)
         nb = b / (jnp.sqrt(jnp.sum(jnp.square(b), axis=-1, keepdims=True)) + 1e-10)
@@ -150,21 +162,28 @@ def import_vgg16_features(path: str):
     return params
 
 
-def lpips_init(key, lins_path: str | None = None):
+def lpips_init(key, lins_path: str | None = None, width_scale: float = 1.0):
     """Random-backbone LPIPS params (tests / smoke). If `lins_path` is given
-    the real calibration heads are used on top of the random backbone."""
+    the real calibration heads are used on top of the random backbone.
+    width_scale < 1 shrinks every VGG channel count (floor 4, topology
+    unchanged — lpips_apply reads widths from the arrays); for sharding
+    dryruns where a full-width compile is too slow on a 1-core host."""
+    def w(c):
+        return c if c == 3 else max(4, int(c * width_scale))
+
     vgg = {}
     for idx, cin, cout in VGG16_CONVS:
         key, sub = random.split(key)
-        fan = cin * 9
+        fan = w(cin) * 9
         vgg[str(idx)] = {
-            "weight": random.normal(sub, (cout, cin, 3, 3)) * math.sqrt(2.0 / fan),
-            "bias": jnp.zeros((cout,)),
+            "weight": random.normal(sub, (w(cout), w(cin), 3, 3))
+            * math.sqrt(2.0 / fan),
+            "bias": jnp.zeros((w(cout),)),
         }
     if lins_path:
         lins = import_lpips_lins(lins_path)
     else:
-        lins = {str(k): {"weight": jnp.full((1, c, 1, 1), 1.0 / c)}
+        lins = {str(k): {"weight": jnp.full((1, w(c), 1, 1), 1.0 / w(c))}
                 for k, c in enumerate(LPIPS_CHANNELS)}
     return {"vgg": vgg, "lins": lins}
 

@@ -6,6 +6,8 @@ it collapses into SPMD over a `jax.sharding.Mesh`: batch dims sharded on the
 Multi-host (DCN) extends the same program via jax.distributed.initialize."""
 
 from .mesh import (
+    DATA_AXIS,
+    initialize_multihost,
     make_mesh,
     batch_sharding,
     replicated_sharding,
@@ -16,6 +18,8 @@ from .mesh import (
 )
 
 __all__ = [
+    "DATA_AXIS",
+    "initialize_multihost",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",

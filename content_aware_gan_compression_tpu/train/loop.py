@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import random
 
-from ..data import FFHQDataset, infinite_loader
+from ..data import open_dataset, infinite_loader
 from ..models.stylegan2 import (
     GeneratorConfig, DiscriminatorConfig, generator_init, discriminator_init,
     generator_apply,
@@ -312,7 +312,9 @@ class Trainer:
             data_seed=None):
         cfg = self.cfg
         logger = logger or ExperimentLogger(self.exp_root)
-        dataset = FFHQDataset(cfg.data_folder, cfg.generated_img_size)
+        # open_dataset prefers a prebuilt uint8 memmap cache (zero decode
+        # on the 1-core host) and falls back to decode-per-read
+        dataset = open_dataset(cfg.data_folder, cfg.generated_img_size)
         loader = infinite_loader(dataset, cfg.batch_size,
                                  seed=data_seed if data_seed is not None
                                  else cfg.seed, uint8_hwc=True)
@@ -358,12 +360,46 @@ class Trainer:
         pending = None
         fid_eval = None
 
+        def _is_oom(e) -> bool:
+            return "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e)
+
+        def _sync_fid(batch_size):
+            """Synchronous FID (the reference's stalling behavior,
+            train.py:436-441) — the overlapped path's OOM fallback: no g_ema
+            snapshot resident, and a halvable batch."""
+            from ..evaluation import get_model_fid_score
+            while batch_size >= 1:
+                try:
+                    return get_model_fid_score(
+                        self.g_ema_params, self.g_config,
+                        self.inception_params, self.real_stats,
+                        batch_size=batch_size,
+                        num_sample=cfg.fid_n_sample, mesh=self.mesh)
+                except Exception as e:  # noqa: BLE001 - halve batch on OOM
+                    if not _is_oom(e) or batch_size == 1:
+                        raise
+                    logger.write(f"FID batch {batch_size} OOM; "
+                                 f"halving to {batch_size // 2}\n")
+                    batch_size //= 2
+
         def fid_tick(n_batches):
-            """Advance an in-flight overlapped FID eval; log on completion."""
+            """Advance an in-flight overlapped FID eval; log on completion.
+            If the eval's extra HBM (g_ema snapshot + in-flight feature
+            batches on top of training state) OOMs, degrade to a synchronous
+            eval instead of killing the run."""
             nonlocal fid_eval
             if fid_eval is None:
                 return
-            score = fid_eval.advance(n_batches)
+            try:
+                score = fid_eval.advance(n_batches)
+            except Exception as e:  # noqa: BLE001 - OOM fallback only
+                if not _is_oom(e):
+                    raise
+                logger.write("overlapped FID OOM mid-eval; falling back to "
+                             "a synchronous pass at half batch\n")
+                fid_eval = None
+                logger.log_fid(_sync_fid(max(1, cfg.fid_batch // 2)))
+                return
             if score is not None:
                 logger.log_fid(score)
                 logger.write(
@@ -395,20 +431,22 @@ class Trainer:
                         if fid_eval is not None:  # drain a straggler
                             fid_tick(10 ** 9)
                         self.rng, k_fid = random.split(self.rng)
-                        fid_eval = OverlappedFIDEval(
-                            self.g_ema_params, self.g_config,
-                            self.inception_params, self.real_stats,
-                            batch_size=cfg.fid_batch,
-                            n_sample=cfg.fid_n_sample, rng=k_fid,
-                            mesh=self.mesh)
+                        try:
+                            fid_eval = OverlappedFIDEval(
+                                self.g_ema_params, self.g_config,
+                                self.inception_params, self.real_stats,
+                                batch_size=cfg.fid_batch,
+                                n_sample=cfg.fid_n_sample, rng=k_fid,
+                                mesh=self.mesh)
+                        except Exception as e:  # noqa: BLE001 - OOM only
+                            if not _is_oom(e):
+                                raise
+                            logger.write(
+                                "overlapped FID snapshot OOM; running a "
+                                "synchronous eval instead\n")
+                            logger.log_fid(_sync_fid(cfg.fid_batch))
                     else:
-                        from ..evaluation import get_model_fid_score
-                        fid = get_model_fid_score(
-                            self.g_ema_params, self.g_config,
-                            self.inception_params, self.real_stats,
-                            batch_size=cfg.fid_batch,
-                            num_sample=cfg.fid_n_sample, mesh=self.mesh)
-                        logger.log_fid(fid)
+                        logger.log_fid(_sync_fid(cfg.fid_batch))
                 self.save(logger, iter_idx)
 
         def is_event(j):

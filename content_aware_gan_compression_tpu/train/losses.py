@@ -44,7 +44,7 @@ def kd_loss(
     fake_img, fake_img_list, teacher_img_list, *,
     kd_l1_lambda, kd_lpips_lambda, kd_mode, size,
     lpips_params=None, parse_fn=None, lpips_image_size=256,
-    data_format="NCHW",
+    data_format="NCHW", aux_dtype=None,
 ):
     """Content-masked knowledge distillation (reference KD_loss,
     train.py:145-184): L1 between (COI-masked) student/teacher images —
@@ -52,7 +52,12 @@ def kd_loss(
     LPIPS between the (masked, possibly 256-pooled) final images.
 
     The teacher's parsing defines the mask for BOTH images; gradients flow
-    only through the student (teacher tensors arrive stop-gradiented)."""
+    only through the student (teacher tensors arrive stop-gradiented).
+
+    aux_dtype: compute dtype for the aux-net trunks (the VGG16 of LPIPS;
+    the parse_fn caller handles BiSeNet itself). None = exact f32 (parity
+    tests); bfloat16 = the TPU fast path. The L1 term and the loss values
+    stay f32 either way."""
     # L1 is layout-agnostic; the aux nets (BiSeNet parsing, LPIPS) are
     # NCHW, so NHWC callers (the TPU-native train steps) only pay a C=3
     # transpose when those nets are actually active. Everything past this
@@ -96,6 +101,8 @@ def kd_loss(
         b = fake_img_teacher
         if size > lpips_image_size:
             a, b = _downsample_256(a), _downsample_256(b)
-        kd_lpips = kd_lpips_lambda * jnp.mean(lpips_apply(lpips_params, a, b))
+        kd_lpips = kd_lpips_lambda * jnp.mean(
+            lpips_apply(lpips_params, a, b,
+                        dtype=aux_dtype).astype(jnp.float32))
 
     return kd_l1, kd_lpips

@@ -232,7 +232,13 @@ def make_train_steps(
             from ..models.bisenet import bisenet_apply
 
             def parse_fn(x):
-                return bisenet_apply(parse_params, x)[0]
+                # the BiSeNet trunk follows the step compute dtype (its convs
+                # adopt the input dtype); the logits feed an argmax-derived
+                # mask on stop-gradiented teacher imagery, so bf16 is safe —
+                # the f32/None path stays the CPU parity configuration
+                if dtype is not None:
+                    x = x.astype(dtype)
+                return bisenet_apply(parse_params, x)[0].astype(jnp.float32)
 
         def loss_fn(gp):
             g_out = generator_apply(
@@ -257,7 +263,8 @@ def make_train_steps(
                     kd_lpips_lambda=cfg.kd_lpips_lambda,
                     kd_mode=cfg.kd_mode, size=cfg.generated_img_size,
                     lpips_params=lpips_params, parse_fn=parse_fn,
-                    lpips_image_size=LPIPS_IMAGE_SIZE, data_format="NHWC")
+                    lpips_image_size=LPIPS_IMAGE_SIZE, data_format="NHWC",
+                    aux_dtype=dtype)
                 metrics["kd_l1_loss"] = kd_l1
                 metrics["kd_lpips_loss"] = kd_lpips
                 total = g_loss + kd_l1 + kd_lpips

@@ -35,7 +35,11 @@ def main():
     parser.add_argument("--size", type=str, default="128,256,512,1024")
     parser.add_argument("--n_worker", type=int, default=8)
     parser.add_argument("--format", type=str, default="folders",
-                        choices=["folders", "lmdb"])
+                        choices=["folders", "lmdb", "uint8"],
+                        help="'uint8' writes one decoded [N,S,S,3] .npy "
+                             "memmap per size — the training loader's "
+                             "zero-decode fast path (data/dataset.py:"
+                             "Uint8CacheDataset)")
     parser.add_argument("path", metavar="PATH")
     args = parser.parse_args()
 
@@ -46,6 +50,18 @@ def main():
     print(f"{len(files)} images -> sizes {sizes}")
 
     worker = partial(resize_and_encode, sizes=sizes)
+
+    if args.format == "uint8":
+        from content_aware_gan_compression_tpu.data import build_uint8_cache
+
+        os.makedirs(args.out, exist_ok=True)
+        for size in sizes:
+            out = os.path.join(args.out, f"uint8_cache_{size}.npy")
+            build_uint8_cache(args.path, size, out, num_workers=args.n_worker,
+                              info_print=True)
+            print(f"{out}: {len(files)} images @ {size}px")
+        print("done")
+        return
 
     if args.format == "lmdb":
         import lmdb  # gated: not in the base image

@@ -32,6 +32,18 @@ def test_full_size_flops_match_reference_constants():
         assert got == want, (size, got, want)
 
 
+def test_aux_net_flops_calculators():
+    """vgg16_lpips_flops must reproduce the published VGG16 conv-trunk MAC
+    count at 224px (15.35 GMACs); bisenet_flops must scale ~quadratically
+    with resolution (it's all convs)."""
+    from content_aware_gan_compression_tpu.utils.calculators import (
+        vgg16_lpips_flops, bisenet_flops)
+
+    # conv trunk 15,346,630,656 + five 1x1 heads (published VGG16 number)
+    assert abs(vgg16_lpips_flops(224) - 15.35e9) < 0.01e9
+    assert 4.2 > bisenet_flops(512) / bisenet_flops(256) > 3.8
+
+
 def test_pruned_flops_ratio_for_07_prune():
     full = default_net_shape(256)
     pruned = tuple(c - int(0.7 * c) for c in full)
@@ -77,6 +89,46 @@ def test_data_loader_shapes_and_normalization(tmp_path):
     loader.close()
     assert batch.shape == (4, 3, 8, 8)
     assert batch.min() >= -1.0 and batch.max() <= 1.0
+
+
+def test_uint8_cache_dataset_matches_decode_path(tmp_path):
+    """build_uint8_cache + Uint8CacheDataset must be byte-identical to the
+    decode-per-read uint8 wire (no flip), open_dataset must auto-prefer the
+    cache, and the loader's batch fast path must deliver [B,H,W,3] uint8."""
+    from PIL import Image
+
+    from content_aware_gan_compression_tpu.data import (
+        FFHQDataset, Uint8CacheDataset, build_uint8_cache, cache_path_for,
+        data_loader, open_dataset)
+
+    for i in range(10):
+        arr = (np.random.RandomState(i).rand(12, 12, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"{i}.png")
+
+    cache = build_uint8_cache(str(tmp_path), 8)
+    assert cache == cache_path_for(str(tmp_path), 8)
+
+    plain = FFHQDataset(str(tmp_path), size=8, random_flip=False)
+    cached = Uint8CacheDataset(cache, random_flip=False)
+    assert len(cached) == len(plain) == 10
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        np.testing.assert_array_equal(cached.load_uint8(i, rng),
+                                      plain.load_uint8(i, rng))
+
+    ds = open_dataset(str(tmp_path), 8)
+    assert isinstance(ds, Uint8CacheDataset)  # cache auto-preferred
+    assert isinstance(open_dataset(str(tmp_path), 9), FFHQDataset)
+
+    loader = data_loader(ds, batch_size=4, seed=0, uint8_hwc=True)
+    batch = next(loader)
+    loader.close()
+    assert batch.shape == (4, 8, 8, 3) and batch.dtype == np.uint8
+
+    # float path parity too (the reference train-transform semantics)
+    f_cache = cached.load(3, np.random.default_rng(1))
+    f_plain = plain.load(3, np.random.default_rng(1))
+    np.testing.assert_allclose(f_cache, f_plain)
 
 
 def test_projector_reduces_loss():

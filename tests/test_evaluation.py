@@ -172,6 +172,58 @@ def test_ppl_sample_count_exact():
         assert len(d) == n_sample, (n_sample, batch, len(d))
 
 
+def test_fid_feature_stream_single_trace(tiny_inception):
+    """A residual batch (n_sample % batch_size != 0) must NOT re-trace the
+    feature step: at 1024px through the remote-compile tunnel a second trace
+    is a multi-minute compile for one batch of work. Fixed-shape batches +
+    host-side truncation keep it to ONE lowering and return exactly
+    n_sample features."""
+    import jax._src.test_util as jtu
+
+    cfg = GeneratorConfig(size=16, style_dim=16, n_mlp=1,
+                          net_shape=(8, 8, 8, 8, 8, 8))
+    gp = generator_init(jax.random.PRNGKey(4), cfg)
+    # warm every lowering (feature step + eager helpers) at batch_size=4...
+    extract_feature_from_samples(
+        gp, cfg, tiny_inception, batch_size=4, n_sample=8,
+        rng=jax.random.PRNGKey(5))
+    # ...then a run WITH a residual (10 % 4 != 0) must add ZERO lowerings:
+    # every device batch has the same static shape; surplus rows are cut on
+    # the host
+    with jtu.count_jit_and_pmap_lowerings() as count:
+        feats = extract_feature_from_samples(
+            gp, cfg, tiny_inception, batch_size=4, n_sample=10,
+            rng=jax.random.PRNGKey(7))
+    assert feats.shape == (10, 2048)
+    assert count() == 0, f"residual batch added {count()} lowerings"
+
+
+def test_overlapped_fid_matches_synchronous_score(tiny_inception):
+    """Same rng => OverlappedFIDEval and the synchronous path draw the
+    identical latent stream (same fixed batch shapes, same split order) and
+    must return the IDENTICAL score — the overlap changes scheduling, not
+    the eval (VALIDATION.md's in-loop FID claim)."""
+    from content_aware_gan_compression_tpu.evaluation import OverlappedFIDEval
+
+    cfg = GeneratorConfig(size=16, style_dim=16, n_mlp=1,
+                          net_shape=(8, 8, 8, 8, 8, 8))
+    gp = generator_init(jax.random.PRNGKey(4), cfg)
+    feats = extract_feature_from_samples(
+        gp, cfg, tiny_inception, batch_size=2, n_sample=4,
+        rng=jax.random.PRNGKey(5))
+    stats = {"mean": feats.mean(0),
+             "cov": np.cov(feats, rowvar=False) + np.eye(2048) * 1e-3}
+
+    sync = get_model_fid_score(gp, cfg, tiny_inception, stats, batch_size=4,
+                               num_sample=10, rng=jax.random.PRNGKey(11))
+    ev = OverlappedFIDEval(gp, cfg, tiny_inception, stats, batch_size=4,
+                           n_sample=10, rng=jax.random.PRNGKey(11))
+    overlapped = None
+    while overlapped is None:
+        overlapped = ev.advance(1)
+    np.testing.assert_allclose(overlapped, sync, rtol=0, atol=0)
+
+
 def test_overlapped_fid_small_n_sample(tiny_inception):
     """OverlappedFIDEval must produce a score even when n_sample <
     batch_size (n_batch used to floor to 0 and advance() returned None

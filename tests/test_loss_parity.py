@@ -65,3 +65,38 @@ def test_r1_penalty_matches_torch_autograd():
     leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(grads)]
     assert all(np.isfinite(l).all() for l in leaves)
     assert any(np.abs(l).max() > 0 for l in leaves)
+
+
+def test_kd_loss_bf16_aux_path_tracks_f32():
+    """The TPU fast path (aux_dtype=bfloat16 for the LPIPS-VGG trunk +
+    BiSeNet parse) must stay close to the exact-f32 objective: same masks
+    (argmax is bf16-stable here), LPIPS value within bf16 tolerance."""
+    from content_aware_gan_compression_tpu.models.lpips import lpips_init
+    from content_aware_gan_compression_tpu.models.bisenet import (
+        bisenet_init, bisenet_apply)
+    from content_aware_gan_compression_tpu.train.losses import kd_loss
+
+    k = jax.random.PRNGKey(3)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    lp = lpips_init(k1)
+    pp = bisenet_init(k2)
+    fake = jax.random.uniform(k3, (2, 3, 64, 64), minval=-1, maxval=1)
+    teach = jax.random.uniform(k4, (2, 3, 64, 64), minval=-1, maxval=1)
+
+    def run(aux_dtype):
+        def parse_fn(x):
+            if aux_dtype is not None:
+                x = x.astype(aux_dtype)
+            return bisenet_apply(pp, x)[0].astype(jnp.float32)
+
+        return kd_loss(
+            fake, [fake], [teach], kd_l1_lambda=3.0, kd_lpips_lambda=3.0,
+            kd_mode="Output_Only", size=64, lpips_params=lp,
+            parse_fn=parse_fn, aux_dtype=aux_dtype)
+
+    l1_f32, lpips_f32 = map(float, run(None))
+    l1_bf16, lpips_bf16 = map(float, run(jnp.bfloat16))
+    # identical masks -> identical L1 term up to mask-boundary flips
+    np.testing.assert_allclose(l1_bf16, l1_f32, rtol=0.05)
+    np.testing.assert_allclose(lpips_bf16, lpips_f32, rtol=0.1)
+    assert lpips_f32 > 0
