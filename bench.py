@@ -6,6 +6,13 @@ section 3.2) on the 11x-compressed 256px student with the full-size teacher:
 D GAN step + G GAN+KD step every iteration, R1 every 16, path-length every 4,
 EMA every iteration — the same cadence as train_hyperparams.py.
 
+The DEFAULT objective is the reference's default config
+(train_hyperparams.py:33-37): content-aware KD with a BiSeNet parse of the
+teacher batch (content masking) AND the LPIPS-VGG16 KD term every G step
+(reference train.py:509-518) — the job the 131 V100-hour baseline paid for.
+Aux-net params are synthetically initialized (identical FLOPs to trained
+weights). `--no-full_objective` benches the lighter GAN + unmasked-L1 job.
+
 Prints ONE JSON line:
   {"metric": "retrain_iters_per_sec", "value": N, "unit": "iter/s",
    "vs_baseline": ...}
@@ -64,6 +71,19 @@ def main():
                              "round-trip ~27ms/iter on tunneled dev boxes; "
                              "default measures pipelined steady state, which "
                              "is how the production loop runs)")
+    parser.add_argument("--packed_max_ch", type=int, default=64,
+                        help="pack trunk pairs with width <= this "
+                             "(threshold sweep: 32/64/128)")
+    parser.add_argument("--packed_min_res", type=int, default=64,
+                        help="pack trunk pairs at res >= this in TRAINING "
+                             "(threshold sweep: 64/512)")
+    parser.add_argument("--full_objective", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="bench the reference's default objective: "
+                             "content-aware KD (BiSeNet parse of the teacher "
+                             "batch) + LPIPS-KD every G step "
+                             "(train_hyperparams.py:33-37). "
+                             "--no-full_objective = GAN + unmasked L1 only")
     parser.add_argument("--metric", type=str, default="retrain",
                         choices=["retrain", "generate"],
                         help="retrain iters/s (default) or generation "
@@ -96,7 +116,9 @@ def main():
                       batch_size=args.batch_size,
                       compute_dtype=args.dtype, remat=args.remat,
                       opt_state_dtype=args.opt_state_dtype,
-                      packed_trunk=args.packed)
+                      packed_trunk=args.packed,
+                      packed_max_ch=args.packed_max_ch,
+                      packed_min_res=args.packed_min_res)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
     # 11x-compressed student: keep ceil(width * (1 - ratio)) per layer
@@ -138,10 +160,20 @@ def main():
 
     mesh = make_mesh()
     rng = jax.random.PRNGKey(0)
-    k1, k2, k3, rng = jax.random.split(rng, 4)
+    k1, k2, k3, k4, k5, rng = jax.random.split(rng, 6)
     g_params = replicate(mesh, generator_init(k1, g_config))
     t_params = replicate(mesh, generator_init(k2, t_config))
     d_params = replicate(mesh, discriminator_init(k3, d_config))
+
+    lpips_params = parse_params = None
+    if args.full_objective:
+        # synthetic aux-net params: identical structure + FLOPs to the
+        # trained weights (values don't affect throughput)
+        from content_aware_gan_compression_tpu.models.bisenet import (
+            bisenet_init)
+        from content_aware_gan_compression_tpu.models.lpips import lpips_init
+        lpips_params = replicate(mesh, lpips_init(k4))
+        parse_params = replicate(mesh, bisenet_init(k5))
     g_ema = jax.tree_util.tree_map(jnp.copy, g_params)  # true copy: g_params buffers are donated
 
     g_opt, d_opt = make_optimizers(cfg)
@@ -193,7 +225,8 @@ def main():
         # consume step-produced buffer layouts (see --warmup note above)
         for _ in range(max(2, -(-args.warmup // K))):
             *state, last_reg, m = multi(*state, reals, it, last_reg,
-                                        t_params, None, None)
+                                        t_params, lpips_params,
+                                        parse_params)
             it += K
             float(m["g"][-1])
         n_disp = max(1, args.iters // K)
@@ -204,7 +237,8 @@ def main():
         t0 = time.perf_counter()
         for _ in range(n_disp):
             *state, last_reg, m = multi(*state, reals, it, last_reg,
-                                        t_params, None, None)
+                                        t_params, lpips_params,
+                                        parse_params)
             it += K
         float(m["g"][-1])
         dt = time.perf_counter() - t0
@@ -226,11 +260,12 @@ def main():
                                               real, k_d)
             d_params, d_opt_state, _ = d_reg_step(d_params, d_opt_state, real)
             g_params, g_opt_state, m = g_step(g_params, g_opt_state, d_params,
-                                              k_g, t_params, None, None)
+                                              k_g, t_params, lpips_params,
+                                              parse_params)
         else:
             g_params, g_opt_state, d_params, d_opt_state, m = dg_step(
                 g_params, g_opt_state, d_params, d_opt_state, real, k_dg,
-                t_params, None, None)
+                t_params, lpips_params, parse_params)
         if i % cfg.g_reg_freq == 0:
             g_params, g_opt_state, mpl, _ = g_reg_step(g_params, g_opt_state,
                                                        k_r, mpl)
@@ -274,7 +309,8 @@ def _report(args, cfg, iters_per_sec, g_config, t_config):
     # (utils/calculators.py), standard 1x/3x fwd/bwd multipliers, over the
     # measured-achievable chip peak.
     from content_aware_gan_compression_tpu.utils.calculators import (
-        stylegan2_flops, discriminator_flops)
+        stylegan2_flops, discriminator_flops, vgg16_lpips_flops,
+        bisenet_flops)
 
     g_macs = stylegan2_flops(generator_init(jax.random.PRNGKey(0), g_config))
     t_macs = stylegan2_flops(generator_init(jax.random.PRNGKey(0), t_config))
@@ -290,6 +326,13 @@ def _report(args, cfg, iters_per_sec, g_config, t_config):
         # path length every g_reg_freq at B/2: ~2x a fwd+bwd pass
         + (B // cfg.path_reg_batch_shrink) * (2 * 3 * g_macs) / cfg.g_reg_freq
     )
+    if args.full_objective:
+        # KD-LPIPS every G step: student branch fwd + input-grad bwd (2x),
+        # teacher branch fwd only (stop-gradiented) — LPIPS inputs are
+        # 256px at every training size (>256 is pooled down first,
+        # reference train.py:176-182); BiSeNet content-masking parse of the
+        # teacher batch at 512px, fwd only (the mask is data, no gradient)
+        per_iter_macs += B * (3 * vgg16_lpips_flops(256) + bisenet_flops(512))
     PEAK_TFLOPS = float(os.environ.get("CAGC_PEAK_TFLOPS", "197"))  # v5e bf16
     mfu = (per_iter_macs * 2 * iters_per_sec) / (PEAK_TFLOPS * 1e12)
 
@@ -306,6 +349,9 @@ def _report(args, cfg, iters_per_sec, g_config, t_config):
         "unit": "iter/s",
         "vs_baseline": round(iters_per_sec * B / (ref_rate * 16), 4),
         "mfu": round(mfu, 4),
+        # the reference default config (content-aware KD + LPIPS-KD) vs the
+        # lighter GAN + unmasked-L1 job — apples-to-apples marker
+        "objective": "full_kd" if args.full_objective else "gan_l1",
     }))
 
 

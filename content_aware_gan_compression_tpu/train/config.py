@@ -60,6 +60,11 @@ class TrainConfig:
     # executes as one dense packed conv. Exact math (fp reassociation
     # only); measured 2.5x at 1024px, +2% at 256px — default ON.
     packed_trunk: bool = True
+    # packing thresholds (models/stylegan2._synthesis gate): pack pairs with
+    # width <= packed_max_ch at res >= packed_min_res. Defaults are the
+    # round-2 measured winners; bench.py sweeps them (round-3 VERDICT #8)
+    packed_max_ch: int = 64
+    packed_min_res: int = 64
     # in-loop FID runs interleaved with training (a few feature batches per
     # iteration on the same device stream) instead of stalling the loop for
     # the full 50k-sample pass like the reference (train.py:436-441)

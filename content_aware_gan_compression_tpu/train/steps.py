@@ -149,13 +149,23 @@ def make_train_steps(
     batch = cfg.batch_size
     n_latent = g_config.n_latent
 
+    # packing thresholds are config data (the bench sweeps them); bind them
+    # once with the compute dtype instead of threading through every call
+    gen_apply = partial(
+        generator_apply, dtype=dtype, packed=cfg.packed_trunk,
+        packed_max_ch=cfg.packed_max_ch, packed_min_res=cfg.packed_min_res)
+    disc_apply = partial(
+        discriminator_apply, dtype=dtype, data_format="NHWC",
+        remat=cfg.remat, packed=cfg.packed_trunk,
+        packed_max_ch=cfg.packed_max_ch)
+
     # ---------------- D GAN step (reference D_Loss_BackProp) ----------------
     def d_step(g_params, d_params, d_opt_state, real_img, rng, d_opt):
         k_mix, k_noise = random.split(rng)
         zs, inject_index = _mixing_latents(k_mix, batch, cfg, n_latent)
-        fake_img = generator_apply(
+        fake_img = gen_apply(
             g_params, g_config, zs, inject_index=inject_index, rng=k_noise,
-            dtype=dtype, packed=cfg.packed_trunk, output_format="NHWC")
+            output_format="NHWC")
         fake_img = jax.lax.stop_gradient(fake_img)
         real_nhwc = _as_nhwc_image(real_img)
 
@@ -166,14 +176,8 @@ def make_train_steps(
             # backward dominates d_step either way — so the simpler form
             # stays. A plain concat would NOT be equivalent: the stride-B//4
             # stddev groups would mix fake and real samples.
-            fake_pred = discriminator_apply(dp, d_config, fake_img,
-                                            dtype=dtype, data_format="NHWC",
-                                            remat=cfg.remat,
-                                            packed=cfg.packed_trunk)
-            real_pred = discriminator_apply(dp, d_config, real_nhwc,
-                                            dtype=dtype, data_format="NHWC",
-                                            remat=cfg.remat,
-                                            packed=cfg.packed_trunk)
+            fake_pred = disc_apply(dp, d_config, fake_img)
+            real_pred = disc_apply(dp, d_config, real_nhwc)
             loss = d_logistic_loss(real_pred.astype(jnp.float32),
                                    fake_pred.astype(jnp.float32))
             return loss, (real_pred.mean(), fake_pred.mean())
@@ -191,11 +195,8 @@ def make_train_steps(
 
         def loss_fn(dp):
             def score_sum(img):
-                return discriminator_apply(dp, d_config, img, dtype=dtype,
-                                           data_format="NHWC",
-                                           remat=cfg.remat,
-                                           packed=cfg.packed_trunk
-                                           ).astype(jnp.float32).sum()
+                return disc_apply(dp, d_config, img
+                                  ).astype(jnp.float32).sum()
             grad_real = jax.grad(score_sum)(real_nhwc)
             r1 = jnp.mean(jnp.sum(jnp.square(
                 grad_real.reshape(grad_real.shape[0], -1)), axis=1))
@@ -219,11 +220,10 @@ def make_train_steps(
 
         teacher_list = None
         if teacher_params is not None:
-            t_out = generator_apply(
+            t_out = gen_apply(
                 teacher_params, teacher_config, zs,
                 inject_index=inject_index, rng=k_tnoise,
-                return_rgb_list=need_lists, dtype=dtype,
-                packed=cfg.packed_trunk, output_format="NHWC")
+                return_rgb_list=need_lists, output_format="NHWC")
             teacher_list = list(t_out) if need_lists else [t_out]
             teacher_list = [jax.lax.stop_gradient(t) for t in teacher_list]
 
@@ -241,16 +241,13 @@ def make_train_steps(
                 return bisenet_apply(parse_params, x)[0].astype(jnp.float32)
 
         def loss_fn(gp):
-            g_out = generator_apply(
+            g_out = gen_apply(
                 gp, g_config, zs, inject_index=inject_index, rng=k_noise,
-                return_rgb_list=need_lists, dtype=dtype, remat=cfg.remat,
-                packed=cfg.packed_trunk, output_format="NHWC")
+                return_rgb_list=need_lists, remat=cfg.remat,
+                output_format="NHWC")
             fake_list = list(g_out) if need_lists else [g_out]
             fake_img = fake_list[-1]
-            fake_pred = discriminator_apply(d_params, d_config, fake_img,
-                                            dtype=dtype, data_format="NHWC",
-                                            remat=cfg.remat,
-                                            packed=cfg.packed_trunk)
+            fake_pred = disc_apply(d_params, d_config, fake_img)
             g_loss = g_nonsaturating_loss(fake_pred.astype(jnp.float32))
             metrics = {"g": g_loss}
             total = g_loss
@@ -286,10 +283,10 @@ def make_train_steps(
             do_mix, random.randint(k_i, (), 1, n_latent), n_latent)
 
         def loss_fn(gp):
-            _, path_lengths = generator_apply(
+            _, path_lengths = gen_apply(
                 gp, g_config, [z[0], z[1]], inject_index=inject_index,
-                rng=k_noise, PPL_regularize=True, ppl_rng=k_ppl, dtype=dtype,
-                remat=cfg.remat, packed=cfg.packed_trunk)
+                rng=k_noise, PPL_regularize=True, ppl_rng=k_ppl,
+                remat=cfg.remat)
             path_mean = mean_path_length + 0.01 * (
                 path_lengths.mean() - mean_path_length)
             path_loss = jnp.mean(jnp.square(path_lengths - path_mean))
