@@ -129,9 +129,16 @@ def synth_ckpts(workdir: str, size: int, remove_ratio: float) -> dict:
     return paths
 
 
-def steady_rate(exp_root: str, skip: int) -> tuple[float, int]:
-    """Mean steady-state iters/s from the newest run's metrics.jsonl,
-    skipping the first `skip` iterations (compile + warm specialization)."""
+def steady_rate(exp_root: str, skip: int) -> tuple[float, float, int]:
+    """(median_rate, mean_rate, n) steady-state iters/s from the newest
+    run's metrics.jsonl, skipping the first `skip` iterations. The median is
+    the steady-state number: the window still contains one-time costs (the
+    first compile of the sequential-dispatch path around the FID/ckpt event,
+    the inception jit) that a long production run amortizes to zero but that
+    dominate an arithmetic mean over a few hundred iterations. The mean is
+    reported alongside as the everything-included rate of THIS short run."""
+    import statistics
+
     exps = sorted(d for d in os.listdir(exp_root) if
                   os.path.isdir(os.path.join(exp_root, d)))
     path = os.path.join(exp_root, exps[-1], "metrics.jsonl")
@@ -143,7 +150,8 @@ def steady_rate(exp_root: str, skip: int) -> tuple[float, int]:
                 times.append(rec["train_time"])
     if not times:
         raise RuntimeError(f"no steady-state iterations in {path}")
-    return 1.0 / (sum(times) / len(times)), len(times)
+    return (1.0 / statistics.median(times),
+            1.0 / (sum(times) / len(times)), len(times))
 
 
 def main():
@@ -196,9 +204,10 @@ def main():
     if rc != 0:
         raise SystemExit(f"train.py failed rc={rc}")
 
-    rate, n = steady_rate(exp_root, args.skip)
+    rate, mean_rate, n = steady_rate(exp_root, args.skip)
     print(json.dumps({
         "metric": "e2e_train_iters_per_sec", "value": round(rate, 4),
+        "mean_incl_onetime_compiles": round(mean_rate, 4),
         "unit": "iter/s", "steady_iters": n, "wall_s": round(wall, 1),
         "batch_size": args.batch_size, "size": args.size,
         "objective": "full_kd", "fid_cycle": bool(args.fid)}))
