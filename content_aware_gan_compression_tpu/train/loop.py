@@ -328,29 +328,43 @@ class Trainer:
                   self.start_iter + max_iters if max_iters else
                   cfg.training_iters)
 
+        def pack(metrics, extra=()):
+            """Stack a step's metric leaves into ONE device buffer, enqueued
+            IMMEDIATELY after the step that produced them. Enqueue order is
+            load-bearing on the single-stream relay: if the stack op is
+            built lazily at flush time (i.e. after the NEXT window has been
+            dispatched), it queues behind that window, the flush blocks a
+            full extra window, and the logged train_time double-counts —
+            sum(train_time) exceeded the actual run wall by 27% before this
+            was measured and moved here."""
+            keys = sorted(k for k in metrics if k != "mean_path")
+            cols = [metrics[k] for k in keys] + [
+                metrics[v] for v in (("mean_path",) if "mean_path" in metrics
+                                     else ())] + list(extra)
+            return keys, jnp.stack(cols)
+
         def flush(pending):
-            """Fetch + log a previous iteration's metrics — called AFTER the
-            next step has been dispatched, so the device->host pull overlaps
-            the in-flight step instead of stalling the device."""
-            p_idx, p_t0, p_metrics, p_mpl = pending
-            keys = sorted(p_metrics)
-            # one packed transfer for all scalars (per-leaf fetches each pay
-            # a full host round-trip on the tunneled relay)
-            vals = np.asarray(jnp.stack(
-                [p_metrics[k] for k in keys] + [p_mpl]))
+            """Fetch + log a previous iteration's packed metrics — called
+            AFTER the next step has been dispatched, so by flush time the
+            buffer is computed and np.asarray is a pure transfer (one packed
+            fetch: per-leaf pulls each pay a full host round-trip on the
+            tunneled relay)."""
+            p_idx, p_t0, keys, packed = pending
+            vals = np.asarray(packed)
             last_metrics.update({k: float(v) for k, v in zip(keys, vals)})
             last_metrics["mean_path_avg"] = float(vals[-1])
             logger.log_iteration(p_idx, time.time() - p_t0, last_metrics)
 
-        def flush_window(pending_w):
-            """Fetch + log a window's K stacked per-iteration metrics with
-            ONE packed transfer."""
-            i0, w_t0, w_metrics = pending_w
-            keys = sorted(k for k in w_metrics if k != "mean_path")
-            vals = np.asarray(jnp.stack(
-                [w_metrics[k] for k in keys] + [w_metrics["mean_path"]]))
+        def flush_window(pending_w, next_t0=None):
+            """Fetch + log a window's K packed per-iteration metrics with ONE
+            transfer. Per-iteration time is the PASS-BOUNDARY delta (this
+            window's dispatch to the next window's dispatch) — the true
+            pipelined rate; fetch-completion time would fold the in-flight
+            next window into this one's number."""
+            i0, w_t0, keys, packed = pending_w
+            vals = np.asarray(packed)
             k_steps = vals.shape[1]
-            per_iter = (time.time() - w_t0) / k_steps
+            per_iter = ((next_t0 or time.time()) - w_t0) / k_steps
             for j in range(k_steps):
                 last_metrics.update(
                     {k: float(v) for k, v in zip(keys, vals[:, j])})
@@ -480,6 +494,9 @@ class Trainer:
                     i0 = iter_idx
                     metricsK, mean_path_length, last_reg = self.step_window(
                         i0, window, mean_path_length, last_reg)
+                    # pack NOW — the stack op must land on the stream right
+                    # behind its own window, before the next one (see pack())
+                    w_keys, w_packed = pack(metricsK)
                     iter_idx += K
                     window = real = None
                     if window_ok(iter_idx):        # prefetch next window
@@ -491,8 +508,8 @@ class Trainer:
                         flush(pending)
                         pending = None
                     if pending_w is not None:      # overlapped by this window
-                        flush_window(pending_w)
-                    pending_w = (i0, t0, metricsK)
+                        flush_window(pending_w, next_t0=t0)
+                    pending_w = (i0, t0, w_keys, w_packed)
                     if is_event(iter_idx - 1):
                         # event needs in-order logs + synced state anyway
                         flush_window(pending_w)
@@ -501,6 +518,7 @@ class Trainer:
                 else:
                     metrics, mean_path_length = self.step(
                         iter_idx, real, mean_path_length)
+                    s_keys, s_packed = pack(metrics, (mean_path_length,))
                     iter_idx += 1
                     real = None
                     if window_ok(iter_idx):
@@ -509,11 +527,11 @@ class Trainer:
                         real = self.put_batch(next(loader))
                     fid_tick(cfg.fid_batches_per_iter)
                     if pending_w is not None:
-                        flush_window(pending_w)
+                        flush_window(pending_w, next_t0=t0)
                         pending_w = None
                     if pending is not None:
                         flush(pending)
-                    pending = (iter_idx - 1, t0, metrics, mean_path_length)
+                    pending = (iter_idx - 1, t0, s_keys, s_packed)
                     # periodic events sync the device anyway — flush first so
                     # the log lines stay in order around sample/FID/ckpt
                     if is_event(iter_idx - 1):
