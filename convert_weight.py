@@ -133,6 +133,10 @@ def main():
     parser.add_argument("path", metavar="PATH",
                         help=".npz of g_ema TF vars (see module docstring)")
     args = parser.parse_args()
+    from content_aware_gan_compression_tpu.utils import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp

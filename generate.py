@@ -31,6 +31,10 @@ def main():
                              "res<=256 pairs costs generation throughput "
                              "while helping training — stylegan2._synthesis)")
     args = parser.parse_args()
+    from content_aware_gan_compression_tpu.utils import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
 
     import jax
 

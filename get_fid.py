@@ -36,6 +36,10 @@ def main():
                              "math, fwd-only res>=512 gate; no-op below "
                              "512px — ops/packed.py)")
     args = parser.parse_args()
+    from content_aware_gan_compression_tpu.utils import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
 
     import jax
 

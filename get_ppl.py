@@ -32,6 +32,10 @@ def main():
                              "math, res>=512 gate; no-op below 512px — "
                              "evaluation/ppl.py)")
     args = parser.parse_args()
+    from content_aware_gan_compression_tpu.utils import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
 
     import jax
 

@@ -32,6 +32,10 @@ def main():
     parser.add_argument("--out", type=str,
                         default="./Image_Projection_Visualization.png")
     args = parser.parse_args()
+    from content_aware_gan_compression_tpu.utils import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
 
     import jax
     import numpy as np

@@ -43,6 +43,10 @@ def main():
                              "metrics: Random/ASV/l1-map/l1-norm-ASV/"
                              "l2-norm-ASV/l1-in/l1-out/l1-style")
     args = parser.parse_args()
+    from content_aware_gan_compression_tpu.utils import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
 
     import jax
 

@@ -96,6 +96,10 @@ def main():
     parser.add_argument("--real_stats", type=str, default=None)
     parser.add_argument("--exp_root", type=str, default=".")
     args = parser.parse_args()
+    from content_aware_gan_compression_tpu.utils import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
 
     cfg = TrainConfig(
         data_folder=args.path, generated_img_size=args.size, ckpt=args.ckpt,

@@ -56,6 +56,10 @@ def main():
                         default="/root/reference/lpips/weights/v0.1/vgg.pth")
     parser.add_argument("--exp_root", type=str, default=".")
     args = parser.parse_args()
+    from content_aware_gan_compression_tpu.utils import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
 
     from content_aware_gan_compression_tpu.train import TrainConfig
     from content_aware_gan_compression_tpu.train.sparsity import (

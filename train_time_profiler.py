@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--remat", action="store_true", default=False,
                         help="checkpoint synthesis blocks (1024px memory)")
     args = parser.parse_args()
+    from content_aware_gan_compression_tpu.utils import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
