@@ -248,3 +248,25 @@ def test_cli_str2bool_accepts_false():
     import pytest as _pytest
     with _pytest.raises(argparse.ArgumentTypeError):
         str2bool("maybe")
+
+
+def test_enable_compilation_cache_respects_existing_config(tmp_path):
+    """Every CLI calls enable_compilation_cache() before jax work; it must
+    (a) set a cache dir when none is configured and (b) never override a
+    user-configured one (utils/runtime.py)."""
+    from content_aware_gan_compression_tpu.utils import (
+        enable_compilation_cache)
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # (b) pre-configured (conftest sets the test cache): no-op
+        enable_compilation_cache(str(tmp_path / "ignored"))
+        assert jax.config.jax_compilation_cache_dir == prev
+        # (a) unset: picks the given path and creates it
+        jax.config.update("jax_compilation_cache_dir", None)
+        target = tmp_path / "cache"
+        enable_compilation_cache(str(target))
+        assert jax.config.jax_compilation_cache_dir == str(target)
+        assert target.is_dir()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
