@@ -25,8 +25,15 @@ from ..models.stylegan2 import generator_apply
 from ..models.inception import inception_pool3
 
 
-def _feature_step(g_params, inc_params, config, z, rng, truncation,
+@partial(jax.jit, static_argnames=("config", "truncation", "packed"))
+def _feature_step(g_params, inc_params, z, rng, *, config, truncation,
                   truncation_latent, packed=True):
+    """One fixed-shape sample->pool3 batch. Jitted ONCE at module level
+    (static config/truncation/packed): per-call `jax.jit(partial(...))`
+    wrappers are distinct callables to the jit cache, so every FID cycle
+    would re-trace + re-lower the stream — seconds of host work per
+    in-loop eval, and the single-trace invariant tested in
+    tests/test_evaluation.py would only hold within one call."""
     # packed trunk with the fwd-only res>=512 gate: exact math and a
     # structural no-op below 512px (stylegan2._synthesis packed_min_res).
     # Measured +54% on the 1024px full-model feature stream (61.3 vs 39.8
@@ -35,9 +42,13 @@ def _feature_step(g_params, inc_params, config, z, rng, truncation,
         g_params, config, [z], truncation=truncation,
         truncation_latent=truncation_latent, rng=rng,
         packed=packed, packed_min_res=512)
-    # NB: [-1,1] images go straight into inception (which re-normalizes
-    # 2x-1), faithfully matching reference fid.py:32-33.
-    return inception_pool3(inc_params, img)
+    # NB: [-1,1] images enter inception RAW — the reference's FID net is
+    # load_patched_inception_v3 (calc_inception.py:50-55), which builds
+    # InceptionV3 with normalize_input=False, so the wrapper's 2x-1 rescale
+    # (inception.py:152-153) never runs on the generated-image path
+    # (fid.py:32-33). Passing normalize_input=True here would feed [-3,1]
+    # and score a different metric than the reference's FID.
+    return inception_pool3(inc_params, img, normalize_input=False)
 
 
 def extract_feature_from_samples(
@@ -60,11 +71,8 @@ def extract_feature_from_samples(
     batch of work."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     n_batch = max(1, -(-n_sample // batch_size))
-    step = jax.jit(partial(_feature_step, config=config,
-                           truncation=truncation,
-                           truncation_latent=truncation_latent,
-                           packed=packed),
-                   static_argnames=())
+    step = partial(_feature_step, config=config, truncation=truncation,
+                   truncation_latent=truncation_latent, packed=packed)
     shard = None
     if mesh is not None:
         from ..parallel import batch_sharding
@@ -163,9 +171,9 @@ class OverlappedFIDEval:
         # surplus feature rows dropped at scoring time
         self._n_sample = n_sample
         self._n_batch = max(1, -(-n_sample // batch_size))
-        self._step = jax.jit(partial(
+        self._step = partial(
             _feature_step, config=config, truncation=truncation,
-            truncation_latent=truncation_latent, packed=packed))
+            truncation_latent=truncation_latent, packed=packed)
         self._shard = None
         if mesh is not None:
             from ..parallel import batch_sharding
@@ -232,7 +240,11 @@ def compute_real_stats_from_folder(
     if not files:
         raise ValueError(f"no images found in {folder}")
 
-    step = jax.jit(lambda p, x: inception_pool3(p, x))
+    # normalize_input=False: same patched-inception configuration as the
+    # generated-image path (_feature_step) and the reference's real-stats
+    # builder (calc_inception.py:54) — both sides of the Frechet distance
+    # must use the identical feature function.
+    step = jax.jit(lambda p, x: inception_pool3(p, x, normalize_input=False))
     feats = []
     batch = []
     for i, f in enumerate(files):

@@ -5,10 +5,13 @@ Structure parity with `fid_inception_v3` (inception.py:166-190): torchvision
 InceptionV3 stem + Mixed blocks with the FID patches — count_include_pad=False
 average pools in InceptionA/C/E_1 and a MAX pool in the Mixed_7c branch_pool
 (inception.py:302-307). Input pipeline matches InceptionV3.forward
-(inception.py:129-163): bilinear resize to 299 (align_corners=False) and
-2x-1 normalization. NOTE the reference FID pipeline feeds [-1,1] StyleGAN
-images straight in (Evaluation/fid.py:32-33), so the effective input range is
-[-3,1] — replicated faithfully since the prestored real statistics bake it in.
+(inception.py:129-163): bilinear resize to 299 (align_corners=False) and an
+optional 2x-1 rescale (`normalize_input`, the wrapper's [0,1]->[-1,1] mode).
+NOTE the reference FID pipeline constructs the net via
+load_patched_inception_v3 with normalize_input=False (calc_inception.py:54)
+and feeds [-1,1] StyleGAN images straight in (Evaluation/fid.py:32-33) — so
+every FID caller here (evaluation/fid.py) passes normalize_input=False; the
+prestored real statistics were computed under the same raw-[-1,1] regime.
 
 Weights import from the pytorch-fid release checkpoint
 (pt_inception-2015-12-05-6726825d.pth) via `load_fid_inception`; the file

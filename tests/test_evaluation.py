@@ -143,6 +143,40 @@ def test_fid_pipeline_end_to_end(tiny_inception):
     assert np.isfinite(fid) and 0 <= fid < 10.0
 
 
+def test_fid_feature_path_uses_reference_normalization(tiny_inception):
+    """The FID feature function must be the reference's: [-1,1] images into
+    the patched inception with normalize_input=False (the reference builds
+    its FID net via load_patched_inception_v3, calc_inception.py:50-55, so
+    the wrapper's 2x-1 rescale, inception.py:152-153, never runs). A
+    regression here would silently score a different metric than the
+    reference — and than the prestored real-FFHQ statistics."""
+    from content_aware_gan_compression_tpu.models.stylegan2 import (
+        generator_apply)
+
+    cfg = GeneratorConfig(size=16, style_dim=16, n_mlp=1,
+                          net_shape=(8, 8, 8, 8, 8, 8))
+    gp = generator_init(jax.random.PRNGKey(4), cfg)
+
+    # replay extract_feature_from_samples' internal rng schedule for the
+    # first (only) batch: rng -> (rng, kz, kn), z ~ N(0,1), noise rng = kn
+    rng, kz, kn = jax.random.split(jax.random.PRNGKey(5), 3)
+    z = jax.random.normal(kz, (2, cfg.style_dim))
+    img = generator_apply(gp, cfg, [z], rng=kn, packed=True,
+                          packed_min_res=512)
+    want = np.asarray(inception_pool3(tiny_inception, img,
+                                      normalize_input=False))
+    wrong = np.asarray(inception_pool3(tiny_inception, img,
+                                       normalize_input=True))
+
+    got = extract_feature_from_samples(
+        gp, cfg, tiny_inception, batch_size=2, n_sample=2,
+        rng=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(got, want.astype(np.float64), rtol=1e-5,
+                               atol=1e-6)
+    # and the two configurations genuinely differ (the test has teeth)
+    assert np.abs(want - wrong).max() > 1e-3
+
+
 # ---------------------------------------------------------------------------
 # PPL
 # ---------------------------------------------------------------------------
