@@ -93,9 +93,16 @@ def extract_feature_from_samples(
 
 def calc_fid(sample_mean, sample_cov, real_mean, real_cov, eps=1e-6):
     """Frechet distance (reference fid.py:41-64)."""
+    import warnings
+
     from scipy import linalg
 
-    cov_sqrt, _ = linalg.sqrtm(sample_cov @ real_cov, disp=False)
+    # `disp=` is deprecated (removal slated for SciPy 1.18); modern sqrtm
+    # returns just the array and warns on singular input instead of erroring,
+    # which preserves the reference's disp=False retry semantics below.
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", linalg.LinAlgWarning)
+        cov_sqrt = linalg.sqrtm(sample_cov @ real_cov)
 
     if not np.isfinite(cov_sqrt).all():
         print("product of cov matrices is singular")

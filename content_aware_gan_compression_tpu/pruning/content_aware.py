@@ -131,24 +131,50 @@ def get_content_aware_pruning_score(
 
     `parse_fn`: normalized [N,3,512,512] -> [N,19,512,512] logits, or None to
     treat the whole image as content (used when BiSeNet weights are absent).
+
+    Every device batch has the SAME static shape (batch_size), so the whole
+    generate->parse->noise->grad pipeline lowers ONCE: a residual
+    n_sample % batch_size is covered by one extra full batch whose surplus
+    rows get a zeroed replace-mask — their loss term is exactly 0 with zero
+    gradient, so they contribute nothing to the scores (the padding+masking
+    policy of evaluation/fid.py; a shape-changing residual batch would pay a
+    second multi-minute XLA compile at 1024px through the remote-compile
+    tunnel). The reference instead grows its LAST batch by the remainder
+    (content_aware_pruning.py:216-222) — same sample count, same scores,
+    different batching.
     """
-    n_batch = n_sample // batch_size
-    sizes = [batch_size] * (n_batch - 1) + [batch_size + n_sample % batch_size]
+    n_full, rem = divmod(n_sample, batch_size)
+    n_batch = n_full + (1 if rem else 0)
+
     all_scores = []
-    for idx, bs in enumerate(sizes):
+    for idx in range(n_batch):
         if info_print:
-            print(f"content-aware scoring batch {idx + 1}/{len(sizes)}")
+            print(f"content-aware scoring batch {idx + 1}/{n_batch}")
         rng, kz, kn, ksp = jax.random.split(rng, 4)
-        z = jax.random.normal(kz, (bs, config.style_dim))
-        noise = generator_make_noise(kn, config, bs)
-        img = generator_apply(params, config, [z], noise=noise)
-        if parse_fn is not None:
-            parsing = batch_img_parsing(img, parse_fn)
-            mask = _resize_mask_to_image(
-                coi_mask_from_parsing(parsing), config.size)
-        else:
-            mask = jnp.ones((bs, config.size, config.size), dtype=bool)
-        sp, replace = salt_pepper_noisy_images(ksp, img, mask, noise_prob)
-        scores = _grad_scores(params, config, z, noise, sp, replace)
+        z = jax.random.normal(kz, (batch_size, config.style_dim))
+        noise = generator_make_noise(kn, config, batch_size)
+        n_valid = batch_size if idx < n_full else rem
+        valid = jnp.arange(batch_size) < n_valid
+        scores = _score_batch(params, z, noise, ksp, valid, config=config,
+                              parse_fn=parse_fn, noise_prob=noise_prob)
         all_scores.append([np.asarray(s) for s in scores])
     return all_scores
+
+
+@partial(jax.jit, static_argnames=("config", "parse_fn", "noise_prob"))
+def _score_batch(params, z, noise, k_sp, valid, *, config, parse_fn,
+                 noise_prob):
+    """One fixed-shape scoring batch: generate -> parse -> salt-&-pepper ->
+    grad. Jitted ONCE at module level (the _feature_step pattern,
+    evaluation/fid.py): a per-call closure would be a distinct callable to
+    the jit cache and re-lower on every prune run."""
+    img = generator_apply(params, config, [z], noise=noise)
+    if parse_fn is not None:
+        parsing = batch_img_parsing(img, parse_fn)
+        mask = _resize_mask_to_image(
+            coi_mask_from_parsing(parsing), config.size)
+    else:
+        mask = jnp.ones((z.shape[0], config.size, config.size), dtype=bool)
+    sp, replace = salt_pepper_noisy_images(k_sp, img, mask, noise_prob)
+    replace = replace * valid[:, None, None, None].astype(replace.dtype)
+    return _grad_scores(params, config, z, noise, sp, replace)

@@ -298,3 +298,58 @@ def test_map_metric_validation():
     with pytest.raises(ValueError, match="unknown map metric"):
         get_map_based_score(None, None, np.zeros((2, 8)), None,
                             "l2-norm-asv")
+
+
+def test_content_aware_residual_batch_single_trace(gen_params):
+    """A non-divisible n_sample must NOT re-lower the scoring pipeline
+    (VERDICT r3 weak #4): the residual batch is padded to batch_size with a
+    zeroed replace-mask — at 1024px through the remote-compile tunnel a
+    second trace is a multi-minute compile for one batch of work."""
+    import jax._src.test_util as jtu
+
+    # warm the one lowering at batch_size=4 (divisible run)
+    get_content_aware_pruning_score(
+        gen_params, CFG, parse_fn=None, n_sample=4, batch_size=4,
+        noise_prob=0.3, rng=jax.random.PRNGKey(20))
+    # a residual run (10 % 4 != 0) must add ZERO lowerings
+    with jtu.count_jit_and_pmap_lowerings() as count:
+        scores = get_content_aware_pruning_score(
+            gen_params, CFG, parse_fn=None, n_sample=10, batch_size=4,
+            noise_prob=0.3, rng=jax.random.PRNGKey(21))
+    assert count() == 0, f"residual batch added {count()} lowerings"
+    assert len(scores) == 3  # ceil(10/4) fixed-shape batches
+
+
+def test_content_aware_padded_rows_contribute_nothing(gen_params):
+    """The padded batch's scores equal a direct _grad_scores on only the
+    valid rows: a zeroed replace-mask gives the surplus samples exactly-zero
+    loss and exactly-zero weight gradients (same draws, white-box rng)."""
+    from content_aware_gan_compression_tpu.models import (  # noqa: F401
+        generator_apply)
+    from content_aware_gan_compression_tpu.models.stylegan2 import (
+        generator_make_noise)
+    from content_aware_gan_compression_tpu.pruning.content_aware import (
+        _grad_scores, salt_pepper_noisy_images)
+
+    rng = jax.random.PRNGKey(22)
+    n_valid, batch = 2, 4
+    scores = get_content_aware_pruning_score(
+        gen_params, CFG, parse_fn=None, n_sample=n_valid, batch_size=batch,
+        noise_prob=0.3, rng=rng)
+    assert len(scores) == 1
+
+    # replay the scorer's draws at the padded batch shape...
+    _, kz, kn, ksp = jax.random.split(rng, 4)
+    z = jax.random.normal(kz, (batch, CFG.style_dim))
+    noise = generator_make_noise(kn, CFG, batch)
+    img = generator_apply(gen_params, CFG, [z], noise=noise)
+    mask = jnp.ones((batch, SIZE, SIZE), dtype=bool)
+    sp, replace = salt_pepper_noisy_images(ksp, img, mask, 0.3)
+    # ...then score ONLY the valid rows eagerly
+    want = _grad_scores(
+        gen_params, CFG, z[:n_valid],
+        jax.tree_util.tree_map(lambda n: n[:n_valid], noise),
+        sp[:n_valid], replace[:n_valid])
+    for got, exp in zip(scores[0], want):
+        np.testing.assert_allclose(got, np.asarray(exp), rtol=1e-5,
+                                   atol=1e-7)
