@@ -62,7 +62,19 @@ def main(argv=None):
             "provide --inception_ckpt (pt_inception-2015-12-05 checkpoint)")
     inc_params = inc_mod.load_fid_inception(args.inception_ckpt)
 
-    ds = open_dataset(args.path, args.size, random_flip=args.flip)
+    # resample="lanczos": real-stats parity with the reference's dataset
+    # prep (Miscellaneous/prepare_data.py:23) — only hit when folder images
+    # aren't already at --size; uint8 caches bake the TRAIN-transform
+    # bilinear resize instead, so for non-pre-resized sources prefer a raw
+    # folder input here.
+    ds = open_dataset(args.path, args.size, random_flip=args.flip,
+                      resample="lanczos")
+    if ds.size != args.size:
+        raise SystemExit(
+            f"--size {args.size} does not match the prepared cache's baked "
+            f"resolution {ds.size} ({args.path}); the pickle would claim a "
+            f"resolution the features were not computed at. Pass "
+            f"--size {ds.size} or point PATH at the source image folder.")
     n = min(args.n_sample, len(ds))
     n_batch = max(1, -(-n // args.batch))
     rng = np.random.default_rng(args.seed)
@@ -77,10 +89,21 @@ def main(argv=None):
 
     feats = []
     for b in range(n_batch):
-        # fixed batch shape: the tail wraps around and the surplus rows are
-        # dropped below — one XLA trace for any n_sample
-        idxs = [(b * args.batch + i) % n for i in range(args.batch)]
-        batch = np.stack([ds.load_uint8(i, rng) for i in idxs])
+        # fixed batch shape: the tail batch is padded by TILING its own real
+        # rows (np.resize) and the surplus feature rows are dropped below —
+        # one XLA trace for any n_sample, and the dropped rows are exactly
+        # the padding (a modulo wrap would survive a cache's sorted batch
+        # read and displace real tail images)
+        idxs = list(range(b * args.batch, min((b + 1) * args.batch, n)))
+        if hasattr(ds, "load_batch_uint8"):
+            # vectorized memmap read — no per-image Python/PIL on this
+            # 1-core host (row order within a batch is irrelevant to
+            # mean/cov; only full batches or the self-tiled tail reach here)
+            batch = ds.load_batch_uint8(idxs, rng)
+        else:
+            batch = np.stack([ds.load_uint8(i, rng) for i in idxs])
+        if len(idxs) < args.batch:
+            batch = np.resize(batch, (args.batch,) + batch.shape[1:])
         feats.append(np.asarray(step(inc_params, jnp.asarray(batch))))
         if args.info_print and (b + 1) % 50 == 0:
             print(f"inception features: batch {b + 1}/{n_batch}")

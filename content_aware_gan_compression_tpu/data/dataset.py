@@ -25,7 +25,8 @@ _EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
 class FFHQDataset:
     """Sorted image-folder dataset (reference dataset.py:8-28)."""
 
-    def __init__(self, image_folder: str, size: int, random_flip: bool = True):
+    def __init__(self, image_folder: str, size: int, random_flip: bool = True,
+                 resample: str = "bilinear"):
         self.images_list = sorted(
             os.path.join(image_folder, f) for f in os.listdir(image_folder)
             if f.lower().endswith(_EXTS))
@@ -33,6 +34,14 @@ class FFHQDataset:
             raise ValueError(f"no images in {image_folder}")
         self.size = size
         self.random_flip = random_flip
+        # "bilinear" = the reference's TRAIN transform (transforms.Resize,
+        # train.py:466); "lanczos" = its dataset-prep filter
+        # (Miscellaneous/prepare_data.py:23) — real-stats builders use the
+        # latter so stats from a folder match stats from a prepared store.
+        from PIL import Image
+
+        self._resample = {"bilinear": Image.BILINEAR,
+                          "lanczos": Image.LANCZOS}[resample]
 
     def __len__(self):
         return len(self.images_list)
@@ -54,7 +63,7 @@ class FFHQDataset:
         if self.random_flip and rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         if img.size != (self.size, self.size):
-            img = img.resize((self.size, self.size), Image.BILINEAR)
+            img = img.resize((self.size, self.size), self._resample)
         return np.asarray(img, np.uint8)
 
     def load(self, index: int, rng: np.random.Generator) -> np.ndarray:
@@ -66,7 +75,7 @@ class FFHQDataset:
         if self.random_flip and rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         if img.size != (self.size, self.size):
-            img = img.resize((self.size, self.size), Image.BILINEAR)
+            img = img.resize((self.size, self.size), self._resample)
         arr = np.asarray(img, np.float32).transpose(2, 0, 1)
         return arr / 127.5 - 1.0
 
@@ -151,16 +160,19 @@ def build_uint8_cache(image_folder: str, size: int,
     return cache_path
 
 
-def open_dataset(path: str, size: int, random_flip: bool = True):
+def open_dataset(path: str, size: int, random_flip: bool = True,
+                 resample: str = "bilinear"):
     """Open `path` as the fastest available dataset: a .npy cache file
     directly, a folder with a matching prebuilt cache, or the plain
-    decode-per-read image folder."""
+    decode-per-read image folder. `resample` only applies to the
+    decode-per-read folder path (caches bake their resize at build time)."""
     if path.endswith(".npy"):
         return Uint8CacheDataset(path, random_flip=random_flip)
     cache = cache_path_for(path, size)
     if os.path.exists(cache):
         return Uint8CacheDataset(cache, random_flip=random_flip)
-    return FFHQDataset(path, size, random_flip=random_flip)
+    return FFHQDataset(path, size, random_flip=random_flip,
+                       resample=resample)
 
 
 def data_loader(dataset: FFHQDataset, batch_size: int, *, seed: int = 0,

@@ -24,6 +24,11 @@ import numpy as np
 from ..models.stylegan2 import generator_apply
 from ..models.inception import inception_pool3
 
+# the feature function both sides of the Frechet distance must share:
+# patched FID InceptionV3, [-1,1] images entering RAW (normalize_input=False,
+# reference calc_inception.py:54)
+INCEPTION_REGIME = "patched_fid_inception_raw[-1,1]"
+
 
 @partial(jax.jit, static_argnames=("config", "truncation", "packed"))
 def _feature_step(g_params, inc_params, z, rng, *, config, truncation,
@@ -126,6 +131,17 @@ def load_real_stats(path: str) -> dict:
         return pickle.load(f)
 
 
+def _check_regime(stats: dict):
+    """Refuse stats computed under a different inception feature function
+    (absent key = reference-built or pre-stamp pickle, accepted as-is)."""
+    regime = stats.get("inception_regime")
+    if regime is not None and regime != INCEPTION_REGIME:
+        raise ValueError(
+            f"real-stats pickle was computed under feature regime {regime!r} "
+            f"but this build extracts {INCEPTION_REGIME!r}; regenerate the "
+            "stats (compute_real_stats_from_folder / calc_inception.py)")
+
+
 def get_model_fid_score(
     g_params, config, inc_params, real_stats, *, truncation=1.0,
     truncation_latent=None, batch_size=100, num_sample=50000, rng=None,
@@ -135,6 +151,7 @@ def get_model_fid_score(
     `real_stats`: {'mean','cov'} dict or a pickle path."""
     if isinstance(real_stats, str):
         real_stats = load_real_stats(real_stats)
+    _check_regime(real_stats)
     start = time.time()
     features = extract_feature_from_samples(
         g_params, config, inc_params, truncation=truncation,
@@ -171,6 +188,7 @@ class OverlappedFIDEval:
         self._inc = inc_params
         self._real = (load_real_stats(real_stats)
                       if isinstance(real_stats, str) else real_stats)
+        _check_regime(self._real)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._cfg = config
         self._bs = batch_size
@@ -264,7 +282,15 @@ def compute_real_stats_from_folder(
             if info_print:
                 print(f"real stats: {i + 1}/{len(files)} images")
     features = np.concatenate(feats, 0).astype(np.float64)
-    stats = {"mean": np.mean(features, 0), "cov": np.cov(features, rowvar=False)}
+    # inception_regime stamps WHICH feature function produced these stats:
+    # stats pickles saved before the normalize_input fix (commit 59c6c0e)
+    # were computed in a different feature space and must be regenerated —
+    # mixing regimes across the two sides of the Frechet distance is a
+    # silent wrong-FID (ADVICE r3). Absent key = pre-fix or reference-built.
+    stats = {"mean": np.mean(features, 0),
+             "cov": np.cov(features, rowvar=False),
+             "size": size,
+             "inception_regime": INCEPTION_REGIME}
     if save_path:
         os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
         with open(save_path, "wb") as f:

@@ -155,19 +155,28 @@ def _output_head(p, x):
     return _conv(p["conv_out"]["weight"], x)
 
 
-def bisenet_apply(params, img_nchw):
-    """BiSeNet forward (reference BiSeNet.py:241-254). Input: ImageNet-
-    normalized [N,3,H,W]. Returns 3 logits heads, each [N,19,H,W]."""
-    x = jnp.transpose(img_nchw, (0, 2, 3, 1))
-    h, w = x.shape[1:3]
-    feat_res8, feat_cp8, feat_cp16 = _context_path(params["cp"], x)
+def bisenet_apply_nhwc(params, img_nhwc):
+    """NHWC-native BiSeNet forward — the layout the net already computes in.
+    Input: ImageNet-normalized [N,H,W,3]. Returns 3 logits heads, each
+    [N,H,W,19]. The TPU-native KD path (train/losses.py, data_format NHWC)
+    calls this directly so the big C=3 images never pay a layout copy."""
+    h, w = img_nhwc.shape[1:3]
+    feat_res8, feat_cp8, feat_cp16 = _context_path(params["cp"], img_nhwc)
     feat_fuse = _ffm(params["ffm"], feat_res8, feat_cp8)
 
     out = _output_head(params["conv_out"], feat_fuse)
     out16 = _output_head(params["conv_out16"], feat_cp8)
     out32 = _output_head(params["conv_out32"], feat_cp16)
 
-    outs = [_bilinear_align_corners(o, h, w) for o in (out, out16, out32)]
+    return tuple(_bilinear_align_corners(o, h, w)
+                 for o in (out, out16, out32))
+
+
+def bisenet_apply(params, img_nchw):
+    """BiSeNet forward (reference BiSeNet.py:241-254). Input: ImageNet-
+    normalized [N,3,H,W]. Returns 3 logits heads, each [N,19,H,W]."""
+    x = jnp.transpose(img_nchw, (0, 2, 3, 1))
+    outs = bisenet_apply_nhwc(params, x)
     return tuple(jnp.transpose(o, (0, 3, 1, 2)) for o in outs)
 
 

@@ -56,10 +56,11 @@ def _maxpool2(x):
                              (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
-def vgg16_features(params, img_nchw):
+def vgg16_features(params, img, data_format="NCHW"):
     """VGG16 slice features. Input: scaled images (after the LPIPS scaling
-    layer), NCHW. Returns 5 NHWC feature maps."""
-    x = jnp.transpose(img_nchw, (0, 2, 3, 1))
+    layer), NCHW by default or NHWC (the trunk's native layout — NHWC input
+    skips the layout copy). Returns 5 NHWC feature maps."""
+    x = (jnp.transpose(img, (0, 2, 3, 1)) if data_format == "NCHW" else img)
     feats = []
     conv_i = 0
     seq = 0
@@ -79,27 +80,33 @@ def vgg16_features(params, img_nchw):
     return feats
 
 
-def lpips_apply(params, in0_nchw, in1_nchw, *, normalize=False,
-                spatial=False, ret_per_layer=False, dtype=None):
+def lpips_apply(params, in0, in1, *, normalize=False,
+                spatial=False, ret_per_layer=False, dtype=None,
+                data_format="NCHW"):
     """LPIPS(in0, in1). Inputs in [-1, 1] (or [0, 1] with normalize=True,
     matching PerceptualLoss.forward, lpips/__init__.py:26-40).
     Returns [N, 1, 1, 1] like the reference.
 
     dtype: compute dtype for the VGG trunk (the scaling layer stays f32).
     bfloat16 is the TPU fast path for the KD-LPIPS term; None keeps exact
-    f32 (the CPU parity-test configuration)."""
+    f32 (the CPU parity-test configuration).
+
+    data_format: layout of in0/in1. "NHWC" is the zero-copy TPU path (the
+    VGG trunk is NHWC-native); spatial=True heads are only defined for
+    NCHW callers."""
     if normalize:
-        in0_nchw = 2 * in0_nchw - 1
-        in1_nchw = 2 * in1_nchw - 1
-    shift = jnp.asarray(_SHIFT).reshape(1, 3, 1, 1)
-    scale = jnp.asarray(_SCALE).reshape(1, 3, 1, 1)
-    x0 = (in0_nchw - shift) / scale
-    x1 = (in1_nchw - shift) / scale
+        in0 = 2 * in0 - 1
+        in1 = 2 * in1 - 1
+    ch_shape = ((1, 3, 1, 1) if data_format == "NCHW" else (1, 1, 1, 3))
+    shift = jnp.asarray(_SHIFT).reshape(ch_shape)
+    scale = jnp.asarray(_SCALE).reshape(ch_shape)
+    x0 = (in0 - shift) / scale
+    x1 = (in1 - shift) / scale
     if dtype is not None:
         x0, x1 = x0.astype(dtype), x1.astype(dtype)
 
-    f0 = vgg16_features(params["vgg"], x0)
-    f1 = vgg16_features(params["vgg"], x1)
+    f0 = vgg16_features(params["vgg"], x0, data_format=data_format)
+    f1 = vgg16_features(params["vgg"], x1, data_format=data_format)
 
     res = []
     for kk, (a, b) in enumerate(zip(f0, f1)):

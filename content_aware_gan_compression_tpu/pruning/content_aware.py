@@ -78,6 +78,44 @@ def get_masked_tensor(img_nchw, batch_parsing):
     return img_nchw * mask
 
 
+# --- NHWC twins of the parse/mask pipeline ---------------------------------
+# The TPU-native KD path (train/losses.py, data_format="NHWC") keeps the big
+# C=3 images in the aux nets' native layout end to end: same math as the
+# NCHW functions above (equivalence test-locked), zero layout copies.
+
+def _bilinear_resize_nhwc(x, h, w):
+    b, c = x.shape[0], x.shape[3]
+    return jax.image.resize(x, (b, h, w, c), method="bilinear",
+                            antialias=False)
+
+
+def normalize_for_parsing_nhwc(img_nhwc):
+    """[-1,1] NHWC images -> 512px ImageNet-normalized NHWC tensors."""
+    x = jnp.clip((img_nhwc + 1.0) / 2.0, 0.0, 1.0)
+    x = _bilinear_resize_nhwc(x, PARSING_SIZE, PARSING_SIZE)
+    mean = jnp.asarray(IMAGENET_MEAN, x.dtype).reshape(1, 1, 1, 3)
+    std = jnp.asarray(IMAGENET_STD, x.dtype).reshape(1, 1, 1, 3)
+    return (x - mean) / std
+
+
+def batch_img_parsing_nhwc(img_nhwc, parse_fn_nhwc):
+    """Class map [N, 512, 512]. `parse_fn_nhwc` maps normalized
+    [N,512,512,3] -> logits [N,512,512,19] (models.bisenet.bisenet_apply_nhwc
+    head 0)."""
+    logits = parse_fn_nhwc(normalize_for_parsing_nhwc(img_nhwc))
+    return jnp.argmax(logits, axis=-1)
+
+
+def get_masked_tensor_nhwc(img_nhwc, batch_parsing):
+    """NHWC twin of get_masked_tensor: float COI mask at 512, bilinear to
+    the image size, threshold 0.5, multiply."""
+    mask = coi_mask_from_parsing(batch_parsing).astype(jnp.float32)
+    h, w = img_nhwc.shape[1], img_nhwc.shape[2]
+    mask = _bilinear_resize_nhwc(mask[..., None], h, w)
+    mask = (mask > 0.5).astype(img_nhwc.dtype)
+    return img_nhwc * mask
+
+
 def salt_pepper_noisy_images(rng, img_nchw, coi_mask_hw, noise_prob):
     """Vectorized salt-&-pepper injection (reference :152-171 semantics):
     inside the mask each pixel is replaced across ALL channels by a single

@@ -373,6 +373,7 @@ class Trainer:
 
         pending = None
         fid_eval = None
+        fid_eval_iter = None  # the iteration whose g_ema the eval snapshots
 
         def _is_oom(e) -> bool:
             return "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e)
@@ -412,10 +413,11 @@ class Trainer:
                 logger.write("overlapped FID OOM mid-eval; falling back to "
                              "a synchronous pass at half batch\n")
                 fid_eval = None
-                logger.log_fid(_sync_fid(max(1, cfg.fid_batch // 2)))
+                logger.log_fid(_sync_fid(max(1, cfg.fid_batch // 2)),
+                               fid_eval_iter)
                 return
             if score is not None:
-                logger.log_fid(score)
+                logger.log_fid(score, fid_eval_iter)
                 logger.write(
                     f"FID eval overlapped with training: wall "
                     f"{time.time() - fid_eval.started:.1f}s, host-side cost "
@@ -434,7 +436,7 @@ class Trainer:
                     nrow=int(cfg.val_sample_num ** 0.5))
 
             if iter_idx % cfg.model_save_freq == 0 and iter_idx > 0:
-                nonlocal fid_eval
+                nonlocal fid_eval, fid_eval_iter
                 if (self.inception_params is not None
                         and self.real_stats is not None):
                     if cfg.fid_overlap:
@@ -445,6 +447,7 @@ class Trainer:
                         if fid_eval is not None:  # drain a straggler
                             fid_tick(10 ** 9)
                         self.rng, k_fid = random.split(self.rng)
+                        fid_eval_iter = iter_idx
                         try:
                             fid_eval = OverlappedFIDEval(
                                 self.g_ema_params, self.g_config,
@@ -458,9 +461,10 @@ class Trainer:
                             logger.write(
                                 "overlapped FID snapshot OOM; running a "
                                 "synchronous eval instead\n")
-                            logger.log_fid(_sync_fid(cfg.fid_batch))
+                            logger.log_fid(_sync_fid(cfg.fid_batch),
+                                           iter_idx)
                     else:
-                        logger.log_fid(_sync_fid(cfg.fid_batch))
+                        logger.log_fid(_sync_fid(cfg.fid_batch), iter_idx)
                 self.save(logger, iter_idx)
 
         def is_event(j):

@@ -6,7 +6,10 @@ import jax
 import jax.numpy as jnp
 
 from ..models.lpips import lpips_apply
-from ..pruning.content_aware import batch_img_parsing, get_masked_tensor
+from ..pruning.content_aware import (
+    batch_img_parsing, batch_img_parsing_nhwc,
+    get_masked_tensor, get_masked_tensor_nhwc,
+)
 
 
 def d_logistic_loss(real_pred, fake_pred):
@@ -40,6 +43,12 @@ def _downsample_256(img_nchw):
                             antialias=False)
 
 
+def _downsample_256_nhwc(img_nhwc):
+    n, c = img_nhwc.shape[0], img_nhwc.shape[3]
+    return jax.image.resize(img_nhwc, (n, 256, 256, c), method="bilinear",
+                            antialias=False)
+
+
 def kd_loss(
     fake_img, fake_img_list, teacher_img_list, *,
     kd_l1_lambda, kd_lpips_lambda, kd_mode, size,
@@ -57,26 +66,28 @@ def kd_loss(
     aux_dtype: compute dtype for the aux-net trunks (the VGG16 of LPIPS;
     the parse_fn caller handles BiSeNet itself). None = exact f32 (parity
     tests); bfloat16 = the TPU fast path. The L1 term and the loss values
-    stay f32 either way."""
-    # L1 is layout-agnostic; the aux nets (BiSeNet parsing, LPIPS) are
-    # NCHW, so NHWC callers (the TPU-native train steps) only pay a C=3
-    # transpose when those nets are actually active. Everything past this
-    # point is NCHW, exactly as the reference computes it.
-    def to_nchw(x):
-        return (jnp.transpose(x, (0, 3, 1, 2)) if data_format == "NHWC"
-                else x)
+    stay f32 either way.
 
-    fake_img_teacher = to_nchw(teacher_img_list[-1])
+    data_format: layout of every image argument AND of parse_fn's
+    input/output. The NHWC path runs the whole parse->mask->LPIPS chain in
+    the aux nets' native layout — zero layout copies (the NCHW round trip
+    on [B,1024,1024,3] tensors was the top non-compute cost of the 1024px
+    full-objective step); the NCHW path computes exactly as the reference
+    does. The two are equivalence-locked by tests/test_loss_parity.py."""
+    nhwc = data_format == "NHWC"
+    parse = batch_img_parsing_nhwc if nhwc else batch_img_parsing
+    mask_tensor = get_masked_tensor_nhwc if nhwc else get_masked_tensor
+    downsample = _downsample_256_nhwc if nhwc else _downsample_256
+
+    fake_img_teacher = teacher_img_list[-1]
 
     if parse_fn is not None:
-        fake_img = to_nchw(fake_img)
-        teacher_parsing = batch_img_parsing(fake_img_teacher, parse_fn)
-        fake_img_teacher = get_masked_tensor(fake_img_teacher, teacher_parsing)
-        fake_img = get_masked_tensor(fake_img, teacher_parsing)
+        teacher_parsing = parse(fake_img_teacher, parse_fn)
+        fake_img_teacher = mask_tensor(fake_img_teacher, teacher_parsing)
+        fake_img = mask_tensor(fake_img, teacher_parsing)
 
     if kd_mode == "Output_Only":
         if parse_fn is None:
-            # unmasked L1 is layout-agnostic: no transpose needed
             kd_l1 = kd_l1_lambda * jnp.mean(jnp.abs(
                 teacher_img_list[-1] - fake_img))
         else:
@@ -90,19 +101,18 @@ def kd_loss(
         losses = [jnp.mean(jnp.abs(t - s))
                   for t, s in zip(teacher_img_list, fake_img_list)]
         kd_l1 = kd_l1_lambda * sum(losses)
-        fake_img_teacher = to_nchw(teacher_img_list[-1])
+        fake_img_teacher = teacher_img_list[-1]
     else:
         raise ValueError(f"unknown kd_mode {kd_mode!r}")
 
     if lpips_params is None:
         kd_lpips = jnp.asarray(0.0, fake_img.dtype)
     else:
-        a = fake_img if parse_fn is not None else to_nchw(fake_img)
-        b = fake_img_teacher
+        a, b = fake_img, fake_img_teacher
         if size > lpips_image_size:
-            a, b = _downsample_256(a), _downsample_256(b)
+            a, b = downsample(a), downsample(b)
         kd_lpips = kd_lpips_lambda * jnp.mean(
-            lpips_apply(lpips_params, a, b,
-                        dtype=aux_dtype).astype(jnp.float32))
+            lpips_apply(lpips_params, a, b, dtype=aux_dtype,
+                        data_format=data_format).astype(jnp.float32))
 
     return kd_l1, kd_lpips

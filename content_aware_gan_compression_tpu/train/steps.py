@@ -229,16 +229,20 @@ def make_train_steps(
 
         parse_fn = None
         if parse_params is not None:
-            from ..models.bisenet import bisenet_apply
+            from ..models.bisenet import bisenet_apply_nhwc
 
-            def parse_fn(x):
-                # the BiSeNet trunk follows the step compute dtype (its convs
-                # adopt the input dtype); the logits feed an argmax-derived
-                # mask on stop-gradiented teacher imagery, so bf16 is safe —
-                # the f32/None path stays the CPU parity configuration
+            def parse_fn(x_nhwc):
+                # NHWC end to end (kd_loss runs data_format="NHWC"): the
+                # normalized parse input feeds BiSeNet's native layout with
+                # no transpose. The trunk follows the step compute dtype
+                # (its convs adopt the input dtype); the logits feed an
+                # argmax-derived mask on stop-gradiented teacher imagery,
+                # so bf16 is safe — the f32/None path stays the CPU parity
+                # configuration
                 if dtype is not None:
-                    x = x.astype(dtype)
-                return bisenet_apply(parse_params, x)[0].astype(jnp.float32)
+                    x_nhwc = x_nhwc.astype(dtype)
+                return bisenet_apply_nhwc(
+                    parse_params, x_nhwc)[0].astype(jnp.float32)
 
         def loss_fn(gp):
             g_out = gen_apply(

@@ -52,9 +52,15 @@ class ExperimentLogger:
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
 
-    def log_fid(self, fid: float):
+    def log_fid(self, fid: float, iter_idx: int | None = None):
+        """Text line stays in the reference-scrapable format; the JSONL twin
+        additionally records WHICH iteration's g_ema the score belongs to
+        (the overlapped eval completes many iterations after its snapshot)."""
         self.write(f"\nEvaluated FID: {fid}\n\n")
-        self._jsonl.write(json.dumps({"fid": float(fid)}) + "\n")
+        rec = {"fid": float(fid)}
+        if iter_idx is not None:
+            rec["iter"] = int(iter_idx)
+        self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
 
     def close(self):

@@ -100,3 +100,49 @@ def test_kd_loss_bf16_aux_path_tracks_f32():
     np.testing.assert_allclose(l1_bf16, l1_f32, rtol=0.05)
     np.testing.assert_allclose(lpips_bf16, lpips_f32, rtol=0.1)
     assert lpips_f32 > 0
+
+
+def test_kd_loss_nhwc_path_matches_nchw():
+    """data_format='NHWC' — the zero-copy TPU path (NHWC parse, NHWC
+    masking, NHWC LPIPS; no layout round trip on the big C=3 images) — must
+    compute the same kd_l1/kd_lpips as the NCHW reference-exact path.
+    Covers the masked Output_Only mode, the >lpips_image_size downsample,
+    Intermediate mode, and the unmasked (parse_fn=None) mode."""
+    from content_aware_gan_compression_tpu.models.lpips import lpips_init
+    from content_aware_gan_compression_tpu.models.bisenet import (
+        bisenet_init, bisenet_apply, bisenet_apply_nhwc)
+    from content_aware_gan_compression_tpu.train.losses import kd_loss
+
+    k = jax.random.PRNGKey(9)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    lp = lpips_init(k1)
+    pp = bisenet_init(k2, width_scale=0.25)
+    fake = jax.random.uniform(k3, (2, 3, 64, 64), minval=-1, maxval=1)
+    teach = jax.random.uniform(k4, (2, 3, 64, 64), minval=-1, maxval=1)
+    fake_h = jnp.transpose(fake, (0, 2, 3, 1))
+    teach_h = jnp.transpose(teach, (0, 2, 3, 1))
+
+    def parse_nchw(x):
+        return bisenet_apply(pp, x)[0]
+
+    def parse_nhwc(x):
+        return bisenet_apply_nhwc(pp, x)[0]
+
+    for kd_mode, use_parse, lpips_size in (
+            ("Output_Only", True, 256),   # masked, no downsample
+            ("Output_Only", True, 32),    # masked + downsample-to-32
+            ("Output_Only", False, 256),  # unmasked
+            ("Intermediate", True, 256)):
+        kw = dict(kd_l1_lambda=3.0, kd_lpips_lambda=3.0, kd_mode=kd_mode,
+                  size=64, lpips_params=lp, lpips_image_size=lpips_size)
+        l1_c, lp_c = kd_loss(
+            fake, [fake], [teach], data_format="NCHW",
+            parse_fn=parse_nchw if use_parse else None, **kw)
+        l1_h, lp_h = kd_loss(
+            fake_h, [fake_h], [teach_h], data_format="NHWC",
+            parse_fn=parse_nhwc if use_parse else None, **kw)
+        np.testing.assert_allclose(float(l1_h), float(l1_c), rtol=1e-5,
+                                   err_msg=f"{kd_mode} parse={use_parse}")
+        np.testing.assert_allclose(float(lp_h), float(lp_c), rtol=1e-4,
+                                   err_msg=f"{kd_mode} parse={use_parse}")
+        assert float(lp_c) > 0
