@@ -160,11 +160,13 @@ def run_get_fid(ckpt: str, size: int, stats_path: str, inception_path: str,
            "--n_sample", str(n_sample), "--batch_size", str(batch),
            "--real_stats", stats_path, "--inception_ckpt", inception_path]
     print("#", " ".join(cmd))
-    out = subprocess.run(cmd, check=True, capture_output=True,
-                         text=True).stdout
-    m = re.search(r"FID Scores: ([0-9.eE+-]+)", out)
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(f"get_fid.py failed rc={r.returncode}\n"
+                           f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}")
+    m = re.search(r"FID Scores: ([0-9.eE+-]+)", r.stdout)
     if not m:
-        raise RuntimeError(f"no FID in get_fid.py output:\n{out}")
+        raise RuntimeError(f"no FID in get_fid.py output:\n{r.stdout}")
     return float(m.group(1))
 
 
