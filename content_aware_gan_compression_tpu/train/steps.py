@@ -14,6 +14,7 @@ and the no-mixing case is inject_index == n_latent (all layers take latent
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -27,6 +28,13 @@ from ..models.stylegan2 import (
 )
 from .losses import d_logistic_loss, g_nonsaturating_loss, kd_loss
 from .config import TrainConfig, LPIPS_IMAGE_SIZE
+
+
+# Measurement gate (same pattern as CAGC_PACKED_NOISE5D): the aux nets
+# (BiSeNet parse + LPIPS) run in their native NHWC by default; setting
+# CAGC_AUX_LAYOUT=NCHW reproduces the round-3 transpose-to-NCHW aux path
+# so the two can be A/B-benched on hardware. Not a supported config knob.
+_AUX_LAYOUT = os.environ.get("CAGC_AUX_LAYOUT", "NHWC").upper()
 
 
 class ScaleByAdamNoMuState(NamedTuple):
@@ -228,7 +236,7 @@ def make_train_steps(
             teacher_list = [jax.lax.stop_gradient(t) for t in teacher_list]
 
         parse_fn = None
-        if parse_params is not None:
+        if parse_params is not None and _AUX_LAYOUT == "NHWC":
             from ..models.bisenet import bisenet_apply_nhwc
 
             def parse_fn(x_nhwc):
@@ -243,6 +251,14 @@ def make_train_steps(
                     x_nhwc = x_nhwc.astype(dtype)
                 return bisenet_apply_nhwc(
                     parse_params, x_nhwc)[0].astype(jnp.float32)
+        elif parse_params is not None:
+            from ..models.bisenet import bisenet_apply
+
+            def parse_fn(x_nchw):
+                if dtype is not None:
+                    x_nchw = x_nchw.astype(dtype)
+                return bisenet_apply(
+                    parse_params, x_nchw)[0].astype(jnp.float32)
 
         def loss_fn(gp):
             g_out = gen_apply(
@@ -256,15 +272,23 @@ def make_train_steps(
             metrics = {"g": g_loss}
             total = g_loss
             if teacher_list is not None:
+                fi, fl, tl = fake_img, fake_list, teacher_list
+                if _AUX_LAYOUT != "NHWC":
+                    def _tr(x):
+                        return jnp.transpose(x, (0, 3, 1, 2))
+                    fi = _tr(fi)
+                    fl = [_tr(f) for f in fl]
+                    tl = [_tr(t) for t in tl]
                 kd_l1, kd_lpips = kd_loss(
-                    fake_img.astype(jnp.float32),
-                    [f.astype(jnp.float32) for f in fake_list],
-                    [t.astype(jnp.float32) for t in teacher_list],
+                    fi.astype(jnp.float32),
+                    [f.astype(jnp.float32) for f in fl],
+                    [t.astype(jnp.float32) for t in tl],
                     kd_l1_lambda=cfg.kd_l1_lambda,
                     kd_lpips_lambda=cfg.kd_lpips_lambda,
                     kd_mode=cfg.kd_mode, size=cfg.generated_img_size,
                     lpips_params=lpips_params, parse_fn=parse_fn,
-                    lpips_image_size=LPIPS_IMAGE_SIZE, data_format="NHWC",
+                    lpips_image_size=LPIPS_IMAGE_SIZE,
+                    data_format=_AUX_LAYOUT,
                     aux_dtype=dtype)
                 metrics["kd_l1_loss"] = kd_l1
                 metrics["kd_lpips_loss"] = kd_lpips

@@ -29,10 +29,12 @@ OOM_SIGNATURES = ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
                   "Allocation failure", "exceeds the limit")
 
 
-def probe(size, batch_size, fid_batch, steps_per_dispatch, timeout):
+def probe(size, batch_size, fid_batch, steps_per_dispatch, timeout,
+          remat=False):
     cmd = [sys.executable, HEADROOM, "--size", str(size),
            "--batch_size", str(batch_size), "--fid_batch", str(fid_batch),
-           "--steps_per_dispatch", str(steps_per_dispatch)]
+           "--steps_per_dispatch", str(steps_per_dispatch),
+           "--remat" if remat else "--no-remat"]
     t0 = time.time()
     try:
         r = subprocess.run(cmd, capture_output=True, text=True,
@@ -97,23 +99,27 @@ def main():
     ap.add_argument("--fid_batch_cap", type=int, default=512)
     ap.add_argument("--steps_cap", type=int, default=128)
     ap.add_argument("--probe_timeout", type=int, default=1800)
+    ap.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="probe the remat step (default: the production "
+                         "no-remat configuration)")
     ap.add_argument("--out_json",
                     default=os.path.join(REPO, "docs", "HBM_ENVELOPE.json"))
     args = ap.parse_args()
 
     result = {"metric": "hbm_envelope", "size": args.size,
-              "batch_size": args.batch_size,
+              "batch_size": args.batch_size, "remat": args.remat,
               "base": {"fid_batch": args.base_fid_batch,
                        "steps_per_dispatch": args.base_steps}}
 
     result["fid_batch"] = search(
         "fid_batch", args.base_fid_batch, args.fid_batch_cap,
         lambda v: probe(args.size, args.batch_size, v, args.base_steps,
-                        args.probe_timeout))
+                        args.probe_timeout, args.remat))
     result["steps_per_dispatch"] = search(
         "steps_per_dispatch", args.base_steps, args.steps_cap,
         lambda v: probe(args.size, args.batch_size, args.base_fid_batch, v,
-                        args.probe_timeout))
+                        args.probe_timeout, args.remat))
 
     with open(args.out_json, "w") as f:
         json.dump(result, f, indent=1)

@@ -36,7 +36,9 @@ def main():
     ap.add_argument("--remove_ratio", type=float, default=0.7)
     ap.add_argument("--remat", action=argparse.BooleanOptionalAction,
                     default=None,
-                    help="default: on at 1024px, off below (bench.py policy)")
+                    help="default: off (the production train/config.py "
+                         "default; measured 11%% faster at 1024 B16 and "
+                         "fits — docs/ROUND4_NOTES.md)")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +63,7 @@ def main():
     from content_aware_gan_compression_tpu.train import (
         TrainConfig, make_multi_step, make_optimizers)
 
-    remat = args.remat if args.remat is not None else args.size >= 1024
+    remat = args.remat if args.remat is not None else False
     cfg = TrainConfig(generated_img_size=args.size,
                       batch_size=args.batch_size, compute_dtype="bfloat16",
                       remat=remat)
