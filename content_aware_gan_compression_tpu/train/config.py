@@ -77,6 +77,15 @@ class TrainConfig:
     # loop automatically falls back to single steps around sample/checkpoint
     # boundaries and short runs; 1 disables the fused path entirely.
     steps_per_dispatch: int = 16
+    # when to ship the next window's real batches to the device.
+    # 'overlap': put while the current window computes (a PCIe host's free
+    # lunch). 'serial': drain the window, put while the device is idle,
+    # then dispatch — for transports where a transfer issued against a busy
+    # device degrades to a trickle (the tunneled axon relay moves ~7 MB/s
+    # busy vs ~1.1 GB/s idle, turning the 768 MB 1024px window into a ~40 s
+    # stall: docs/ROUND4_NOTES.md). 'auto' (default): measure the busy/idle
+    # put bandwidth ratio once at loop start with a ~16 MB probe and pick.
+    input_put: str = "auto"
 
     @property
     def g_reg_ratio(self) -> float:

@@ -301,12 +301,21 @@ class Trainer:
                 self.lpips_params, self.parse_params)
         return metrics, mean_path_length, last_reg
 
-    def put_window(self, loader, k_steps: int):
-        """Async upload of K stacked batches for step_window (uint8 wire)."""
+    def stack_window(self, loader, k_steps: int):
+        """Assemble K batches into one host array — disk + memcpy only, no
+        device traffic, so it is always safe to run while a window computes
+        (the serial input_put mode overlaps exactly this part)."""
+        return np.stack([next(loader) for _ in range(k_steps)])
+
+    def put_stack(self, stack):
+        """Ship an assembled K-window to the device (uint8 wire)."""
         from ..parallel import shard_stacked_batches
 
-        stack = np.stack([next(loader) for _ in range(k_steps)])
         return shard_stacked_batches(self.mesh, jnp.asarray(stack))
+
+    def put_window(self, loader, k_steps: int):
+        """Async upload of K stacked batches for step_window (uint8 wire)."""
+        return self.put_stack(self.stack_window(loader, k_steps))
 
     def run(self, *, max_iters: int | None = None, logger=None,
             data_seed=None):
@@ -355,14 +364,17 @@ class Trainer:
             last_metrics["mean_path_avg"] = float(vals[-1])
             logger.log_iteration(p_idx, time.time() - p_t0, last_metrics)
 
-        def flush_window(pending_w, next_t0=None):
+        def flush_window(pending_w, next_t0=None, vals=None):
             """Fetch + log a window's K packed per-iteration metrics with ONE
             transfer. Per-iteration time is the PASS-BOUNDARY delta (this
             window's dispatch to the next window's dispatch) — the true
             pipelined rate; fetch-completion time would fold the in-flight
-            next window into this one's number."""
+            next window into this one's number. Serial input_put passes the
+            already-fetched `vals` (its drain point) and still logs the
+            pass-boundary time so the idle-put cost stays in the number."""
             i0, w_t0, keys, packed = pending_w
-            vals = np.asarray(packed)
+            if vals is None:
+                vals = np.asarray(packed)
             k_steps = vals.shape[1]
             per_iter = ((next_t0 or time.time()) - w_t0) / k_steps
             for j in range(k_steps):
@@ -485,6 +497,16 @@ class Trainer:
         # f32 arrays it returns) — a full re-trace of the >800-leaf scan
         last_reg = tuple(jnp.asarray(0.0, jnp.float32) for _ in range(3))
         pending_w = None
+        pending_w_vals = None
+        put_mode = cfg.input_put
+        probe_idle_s = None
+        if put_mode == "auto":
+            # idle put-bandwidth reference for the busy probe below (16 MB:
+            # big enough that rtt noise is <10%, small enough to be free)
+            x = np.zeros(16 << 20, np.uint8)
+            t_p = time.perf_counter()
+            jax.device_put(x).block_until_ready()
+            probe_idle_s = time.perf_counter() - t_p
         try:
             iter_idx = self.start_iter
             real = window = None
@@ -503,18 +525,60 @@ class Trainer:
                     w_keys, w_packed = pack(metricsK)
                     iter_idx += K
                     window = real = None
-                    if window_ok(iter_idx):        # prefetch next window
-                        window = self.put_window(loader, K)
-                    elif iter_idx < end:
-                        real = self.put_batch(next(loader))
+                    if put_mode == "auto":
+                        # the window above is in flight: measure the busy
+                        # put rate against the idle reference, once
+                        x = np.zeros(16 << 20, np.uint8)
+                        t_p = time.perf_counter()
+                        jax.device_put(x).block_until_ready()
+                        busy_s = time.perf_counter() - t_p
+                        put_mode = ("serial"
+                                    if busy_s > 4 * max(probe_idle_s, 1e-3)
+                                    else "overlap")
+                        logger.write(
+                            f"input_put auto probe: 16 MB put "
+                            f"{probe_idle_s * 1e3:.0f} ms idle / "
+                            f"{busy_s * 1e3:.0f} ms busy -> {put_mode}\n")
+                    want_window = window_ok(iter_idx)
+                    want_single = not want_window and iter_idx < end
+                    next_stack = next_single = None
+                    if put_mode == "overlap":
+                        if want_window:            # prefetch next window
+                            window = self.put_window(loader, K)
+                        elif want_single:
+                            real = self.put_batch(next(loader))
+                    else:
+                        # serial staging: only HOST work (disk + memcpy)
+                        # while the window computes; the wire transfer waits
+                        # for the drain so it runs at idle bandwidth
+                        if want_window:
+                            next_stack = self.stack_window(loader, K)
+                        elif want_single:
+                            next_single = next(loader)
                     fid_tick(cfg.fid_batches_per_iter * K)
                     if pending is not None:
                         flush(pending)
                         pending = None
                     if pending_w is not None:      # overlapped by this window
-                        flush_window(pending_w, next_t0=t0)
+                        flush_window(pending_w, next_t0=t0,
+                                     vals=pending_w_vals)
+                        pending_w = pending_w_vals = None
                     pending_w = (i0, t0, w_keys, w_packed)
-                    if is_event(iter_idx - 1):
+                    if put_mode == "serial":
+                        # drain: blocks until THIS window completes; the log
+                        # line waits for the next pass boundary so its time
+                        # includes the puts below
+                        pending_w_vals = np.asarray(w_packed)
+                        if is_event(iter_idx - 1):
+                            flush_window(pending_w, vals=pending_w_vals)
+                            pending_w = pending_w_vals = None
+                            do_events(iter_idx - 1)
+                        # device idle here: transfers run at full bandwidth
+                        if want_window:
+                            window = self.put_stack(next_stack)
+                        elif want_single:
+                            real = self.put_batch(next_single)
+                    elif is_event(iter_idx - 1):
                         # event needs in-order logs + synced state anyway
                         flush_window(pending_w)
                         pending_w = None
@@ -531,8 +595,9 @@ class Trainer:
                         real = self.put_batch(next(loader))
                     fid_tick(cfg.fid_batches_per_iter)
                     if pending_w is not None:
-                        flush_window(pending_w, next_t0=t0)
-                        pending_w = None
+                        flush_window(pending_w, next_t0=t0,
+                                     vals=pending_w_vals)
+                        pending_w = pending_w_vals = None
                     if pending is not None:
                         flush(pending)
                     pending = (iter_idx - 1, t0, s_keys, s_packed)
@@ -544,7 +609,7 @@ class Trainer:
                         do_events(iter_idx - 1)
             fid_tick(10 ** 9)  # drain any in-flight eval before returning
             if pending_w is not None:
-                flush_window(pending_w)
+                flush_window(pending_w, vals=pending_w_vals)
             if pending is not None:
                 flush(pending)
         finally:

@@ -270,3 +270,64 @@ def test_enable_compilation_cache_respects_existing_config(tmp_path):
         assert target.is_dir()
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_trace_op_time_json_fallback(tmp_path, capsys):
+    """tools/trace_op_time.py must read the chrome JSON trace directly when
+    the xprof hlo_stats converter is unavailable (the shipped converter
+    can't parse the axon relay's xplane), attribute device time to source
+    lines, and exclude container events (while/conditional bodies) so the
+    per-category times sum to device-busy, not 4x it."""
+    import gzip
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "trace_op_time",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "trace_op_time.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 9, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        # container: must be EXCLUDED from totals
+        {"ph": "X", "pid": 3, "tid": 1, "ts": 0, "dur": 1000,
+         "name": "while.1", "args": {"hlo_category": "while"}},
+        {"ph": "X", "pid": 3, "tid": 1, "ts": 0, "dur": 600,
+         "name": "fusion.1",
+         "args": {"hlo_category": "convolution fusion",
+                  "model_flops": "1200000", "bytes_accessed": "3000",
+                  "source": "/root/repo/content_aware_gan_compression_tpu/"
+                            "ops/packed.py:223"}},
+        {"ph": "X", "pid": 3, "tid": 1, "ts": 600, "dur": 400,
+         "name": "copy.2",
+         "args": {"hlo_category": "data formatting",
+                  "bytes_accessed": "8000",
+                  "source": "/root/repo/content_aware_gan_compression_tpu/"
+                            "models/stylegan2.py:341"}},
+        # host event: excluded (wrong pid)
+        {"ph": "X", "pid": 9, "tid": 1, "ts": 0, "dur": 999,
+         "name": "hostloop", "args": {"hlo_category": "convolution fusion"}},
+    ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    ev = mod.load_json_events(str(tmp_path))
+    assert {e["name"] for e in ev} == {"fusion.1", "copy.2"}
+
+    mod.report_json(str(tmp_path), top_n=5, iters=2)
+    out = capsys.readouterr().out
+    # busy = 600 + 400 us = 1.0 ms (container and host excluded)
+    assert "device busy: 1.0 ms" in out
+    assert "= 0.5 ms/iter" in out         # 1.0 ms over --iters 2
+    assert "0.30 ms/it" in out            # fusion.1's 600 us / 2 iters
+    assert "ops/packed.py:223" in out     # source attribution, shortened
+    assert "convolution fusion" in out
+    # achieved rate: 1.2 MFLOP / 600 us = 2.0 GFLOP/s = 0.0 TF/s -> printed
+    assert "data formatting" in out

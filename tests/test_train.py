@@ -272,3 +272,33 @@ def test_trainer_windowed_dispatch(data_dir, ckpt_paths, tmp_path):
     for it in (0, 4, 8):
         assert os.path.exists(
             os.path.join(logger.sample_dir, f"{it:06d}.png")), it
+
+
+def test_input_put_serial_matches_overlap(data_dir, ckpt_paths, tmp_path):
+    """input_put='serial' (the relay-safe staging order: drain the window,
+    transfer at device idle, then dispatch — train/loop.py) must produce the
+    bit-identical training trajectory to 'overlap': same data order, same
+    rng stream, one log line per iteration. Only the wire scheduling moves."""
+    import json
+
+    student, teacher = ckpt_paths
+    runs = {}
+    for mode in ("overlap", "serial"):
+        cfg = make_cfg(data_dir, student, teacher, steps_per_dispatch=4,
+                       input_put=mode)
+        trainer = Trainer(cfg, exp_root=str(tmp_path))
+        logger = ExperimentLogger(str(tmp_path), name=f"put_{mode}")
+        trainer.run(max_iters=9, logger=logger)
+        rows = [json.loads(l) for l in
+                open(os.path.join(logger.exp_dir, "metrics.jsonl"))]
+        runs[mode] = {r["iter"]: r for r in rows if "d" in r}
+        runs[mode, "g"] = np.asarray(
+            trainer.g_params["conv1"]["conv"]["weight"])
+
+    assert sorted(runs["overlap"]) == sorted(runs["serial"]) != []
+    for it, row in runs["overlap"].items():
+        for k, v in row.items():
+            if k in ("train_time",):  # scheduling-dependent by design
+                continue
+            assert runs["serial"][it][k] == pytest.approx(v, abs=0), (it, k)
+    np.testing.assert_array_equal(runs["overlap", "g"], runs["serial", "g"])

@@ -169,6 +169,9 @@ def main():
                     default=True,
                     help="fire one overlapped in-loop FID cycle mid-run")
     ap.add_argument("--fid_n_sample", type=int, default=4096)
+    ap.add_argument("--fid_batch", type=int, default=None,
+                    help="override train.py's fid_batch (e.g. the 16 "
+                         "validated by the 1024px HBM envelope)")
     ap.add_argument("--timeout", type=int, default=5000)
     args = ap.parse_args()
 
@@ -197,6 +200,8 @@ def main():
     if args.fid:
         cmd += ["--inception_ckpt", paths["inception"],
                 "--real_stats", paths["real_stats"]]
+    if args.fid_batch is not None:
+        cmd += ["--fid_batch", str(args.fid_batch)]
     print("#", " ".join(cmd))
     t0 = time.time()
     rc = subprocess.run(cmd, timeout=args.timeout).returncode

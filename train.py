@@ -85,6 +85,13 @@ def main():
                         help="fuse K iterations (regularizer cadence "
                              "included) into one lax.scan dispatch; "
                              "amortizes host dispatch overhead")
+    parser.add_argument("--input_put", type=str, default="auto",
+                        choices=("auto", "overlap", "serial"),
+                        help="when to ship real batches to the device: "
+                             "overlap with compute (PCIe hosts), serially "
+                             "at window drains (transports whose busy-"
+                             "device puts trickle, e.g. tunneled relays), "
+                             "or probe once and pick (auto)")
     parser.add_argument("--parsing_ckpt", type=str,
                         default="./Model/face_parsing/79999_iter.pth")
     parser.add_argument("--lpips_vgg_ckpt", type=str,
@@ -119,7 +126,8 @@ def main():
         content_aware_KD=args.content_aware_KD, seed=args.seed,
         compute_dtype=args.dtype, opt_state_dtype=args.opt_state_dtype,
         n_devices=args.n_devices, packed_trunk=args.packed_trunk,
-        remat=args.remat, steps_per_dispatch=args.steps_per_dispatch)
+        remat=args.remat, steps_per_dispatch=args.steps_per_dispatch,
+        input_put=args.input_put)
 
     import jax
 
