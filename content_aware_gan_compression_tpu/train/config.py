@@ -80,12 +80,40 @@ class TrainConfig:
     # when to ship the next window's real batches to the device.
     # 'overlap': put while the current window computes (a PCIe host's free
     # lunch). 'serial': drain the window, put while the device is idle,
-    # then dispatch — for transports where a transfer issued against a busy
-    # device degrades to a trickle (the tunneled axon relay moves ~7 MB/s
-    # busy vs ~1.1 GB/s idle, turning the 768 MB 1024px window into a ~40 s
-    # stall: docs/ROUND4_NOTES.md). 'auto' (default): measure the busy/idle
-    # put bandwidth ratio once at loop start with a ~16 MB probe and pick.
+    # then dispatch — for transports whose idle puts are much faster than
+    # busy puts. 'auto' (default): the loop drains window 1, probes both
+    # regimes with 3x64 MB incompressible puts each (train/loop.py:
+    # put_probe), measures clean forced-serial windows, then picks by the
+    # wall model (decide_put_mode); probes + decision land in
+    # metrics.jsonl, with a periodic busy re-probe. Background: the
+    # tunneled axon relay moves puts at ~800 MB/s until the first
+    # device->host fetch of a computed result, then caps at ~11-28 MB/s
+    # for the life of the process (tools/bench_transfer.py four-regime
+    # taxonomy, docs/ROUND5_NOTES.md) — data_echo below is the mitigation
+    # when that cap cannot feed the chip.
     input_put: str = "auto"
+    # data echoing factor (Choi et al. 2020): each shipped real batch is
+    # consumed `data_echo` times per K-window (repeats land K/e iterations
+    # apart), cutting the input wire bytes e-fold. OPT-IN mitigation for
+    # transports whose host->device put bandwidth cannot feed the chip
+    # (the tunneled relay caps at ~28 MB/s after the first device fetch
+    # while 1024px batch-16 consumes ~60 MB/s — docs/ROUND5_NOTES.md).
+    # Default 1 is reference-exact: every iteration sees a fresh batch.
+    data_echo: int = 1
+
+    def __post_init__(self):
+        # only train.py's argparse restricts choices; programmatic use (e.g.
+        # a typo like 'Serial') must fail loudly, not fall into one branch
+        if self.input_put not in ("auto", "overlap", "serial"):
+            raise ValueError(
+                f"input_put must be 'auto', 'overlap' or 'serial', "
+                f"got {self.input_put!r}")
+        if self.kd_mode not in KNOWLEDGE_DISTILLATION_MODE:
+            raise ValueError(f"kd_mode must be one of "
+                             f"{KNOWLEDGE_DISTILLATION_MODE}, "
+                             f"got {self.kd_mode!r}")
+        if self.data_echo < 1:
+            raise ValueError(f"data_echo must be >= 1, got {self.data_echo}")
 
     @property
     def g_reg_ratio(self) -> float:

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 import os
+import statistics
 import time
 from functools import partial
 
@@ -30,6 +31,66 @@ from ..utils.logging import ExperimentLogger, save_image_grid
 from .config import TrainConfig
 from .steps import (make_train_steps, make_multi_step, make_optimizers,
                     ema_accumulate)
+
+
+def put_probe(n: int = 3, mb: int = 64):
+    """Time `n` host->device puts of an `mb`-MB buffer (seconds each).
+    64 MB: big enough that the measured time is transfer (not per-put rtt)
+    in every regime the tunneled relay exhibits, ~0.08 s at its 800 MB/s
+    fresh-process rate and ~2-6 s in the post-first-fetch slow mode
+    (docs/ROUND5_NOTES.md). The payload is incompressible (urandom) so a
+    transport that compresses or elides zero pages cannot fake a fast
+    probe for real image windows; a fresh buffer per put defeats any
+    host-side pinning/caching of a repeat."""
+    times = []
+    for _ in range(n):
+        x = np.frombuffer(os.urandom(mb << 20), np.uint8)
+        t0 = time.perf_counter()
+        jax.device_put(x).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def decide_put_mode(idle_s, busy_s, window_bytes: float, t_compute: float,
+                    probe_mb: int = 64):
+    """Pick the input staging mode by the measured WALL model, not a fixed
+    busy/idle ratio:
+
+      serial  wall/window = t_compute + W / bw_idle   (drain, put at idle)
+      overlap wall/window = max(t_compute, W / bw_busy)
+
+    A ratio rule gets the answer wrong as soon as W moves: with idle twice
+    the busy bandwidth (one regime the tunneled relay exhibited —
+    docs/ROUND5_NOTES.md) serial wins the 768 MB 1024px window but LOSES
+    once data echoing shrinks the wire window 4x; when busy ~= idle (the
+    relay's other regime) overlap always wins and the ratio says nothing.
+    Probe medians, so one outlier sample (GC pause, rtt spike) cannot
+    flip a 450k-iteration run's mode.
+
+    Returns (mode, model) where model carries the predicted walls for the
+    decision log."""
+    bw_idle = probe_mb * 2**20 / max(statistics.median(idle_s), 1e-6)
+    bw_busy = probe_mb * 2**20 / max(statistics.median(busy_s), 1e-6)
+    serial_wall = t_compute + window_bytes / bw_idle
+    overlap_wall = max(t_compute, window_bytes / bw_busy)
+    mode = "serial" if serial_wall < overlap_wall else "overlap"
+    return mode, {
+        "bw_idle_mb_s": round(bw_idle / 2**20, 1),
+        "bw_busy_mb_s": round(bw_busy / 2**20, 1),
+        "t_compute_s": round(t_compute, 3),
+        "window_mb": round(window_bytes / 2**20, 1),
+        "serial_wall_s": round(serial_wall, 3),
+        "overlap_wall_s": round(overlap_wall, 3),
+    }
+
+
+@partial(jax.jit, static_argnums=1)
+def _tile_window(arr, k):
+    """Repeat shipped distinct batches up to the K-window length (data
+    echoing device-side tile; uint8, so the copy is small next to the
+    window it feeds)."""
+    reps = -(-k // arr.shape[0])
+    return jnp.tile(arr, (reps,) + (1,) * (arr.ndim - 1))[:k]
 
 
 def _opt_state_to_tree(state):
@@ -208,6 +269,7 @@ class Trainer:
             self.parse_params = replicate(self.mesh, self.parse_params)
 
         self.exp_root = exp_root
+        self._last_stack_bytes = None
 
     # -------------------------------------------------------------------------
     def put_batch(self, real_img):
@@ -302,20 +364,38 @@ class Trainer:
         return metrics, mean_path_length, last_reg
 
     def stack_window(self, loader, k_steps: int):
-        """Assemble K batches into one host array — disk + memcpy only, no
-        device traffic, so it is always safe to run while a window computes
-        (the serial input_put mode overlaps exactly this part)."""
-        return np.stack([next(loader) for _ in range(k_steps)])
+        """Assemble the window's DISTINCT batches into one host array — disk
+        + memcpy only, no device traffic, so it is always safe to run while
+        a window computes (the serial input_put mode overlaps exactly this
+        part). With cfg.data_echo=e>1 only ceil(K/e) distinct batches are
+        read and shipped; put_stack() repeats them on device (data echoing,
+        Choi et al. 2020 'Faster Neural Network Training with Data Echoing'
+        — an OPT-IN trade of batch freshness for input-wire bandwidth on
+        transports that cannot feed the chip, e.g. the tunneled relay's
+        ~28 MB/s post-fetch put cap vs the 60 MB/s a 1024px batch-16 run
+        consumes — docs/ROUND5_NOTES.md. Default 1 is reference-exact:
+        every iteration consumes a fresh loader batch)."""
+        e = max(1, self.cfg.data_echo)
+        m = -(-k_steps // e)
+        out = np.stack([next(loader) for _ in range(m)])
+        self._last_stack_bytes = out.nbytes
+        return out
 
-    def put_stack(self, stack):
-        """Ship an assembled K-window to the device (uint8 wire)."""
+    def put_stack(self, stack, k_steps: int | None = None):
+        """Ship an assembled window to the device (uint8 wire); when data
+        echoing shipped fewer than K distinct batches, tile them on device
+        (repeats land K/e iterations apart, not adjacent)."""
         from ..parallel import shard_stacked_batches
 
-        return shard_stacked_batches(self.mesh, jnp.asarray(stack))
+        k = k_steps if k_steps is not None else self.cfg.steps_per_dispatch
+        arr = shard_stacked_batches(self.mesh, jnp.asarray(stack))
+        if arr.shape[0] < k:
+            arr = _tile_window(arr, k)
+        return arr
 
     def put_window(self, loader, k_steps: int):
         """Async upload of K stacked batches for step_window (uint8 wire)."""
-        return self.put_stack(self.stack_window(loader, k_steps))
+        return self.put_stack(self.stack_window(loader, k_steps), k_steps)
 
     def run(self, *, max_iters: int | None = None, logger=None,
             data_seed=None):
@@ -498,15 +578,37 @@ class Trainer:
         last_reg = tuple(jnp.asarray(0.0, jnp.float32) for _ in range(3))
         pending_w = None
         pending_w_vals = None
-        put_mode = cfg.input_put
-        probe_idle_s = None
-        if put_mode == "auto":
-            # idle put-bandwidth reference for the busy probe below (16 MB:
-            # big enough that rtt noise is <10%, small enough to be free)
-            x = np.zeros(16 << 20, np.uint8)
-            t_p = time.perf_counter()
-            jax.device_put(x).block_until_ready()
-            probe_idle_s = time.perf_counter() - t_p
+        # --- input_put controller (VERDICT r4 #6) --------------------------
+        # auto: window 1 measures both put regimes in production conditions
+        # (busy = during the in-flight window; idle = right after its
+        # drain, which on the tunneled relay is also the post-first-fetch
+        # regime — docs/ROUND5_NOTES.md). Windows 2..3 run forced-serial
+        # (trajectory-identical; tests/test_train.py) to measure the clean
+        # per-window compute time, then decide_put_mode's wall model picks.
+        # Raw probe samples and the decision model land in metrics.jsonl.
+        auto_put = cfg.input_put == "auto"
+        put_mode = "overlap" if auto_put else cfg.input_put
+        measuring = auto_put           # windows forced serial until decided
+        put_decided = not auto_put
+        put_probes = {"idle": None, "busy": None}
+        t_compute_est = None
+        last_window_t = None
+        pass_times = []
+        n_windows = 0
+        REPROBE_EVERY = 256  # windows between busy re-probes in auto mode
+
+        def log_probe(stage, idle_s, busy_s):
+            rec = {"event": "input_put_probe", "stage": stage}
+            if idle_s is not None:
+                rec["idle_s"] = [round(t, 4) for t in idle_s]
+            if busy_s is not None:
+                rec["busy_s"] = [round(t, 4) for t in busy_s]
+            logger.log_event(rec)
+            txt = " / ".join(
+                f"{statistics.median(s) * 1e3:.0f} ms {nm}"
+                for nm, s in (("idle", idle_s), ("busy", busy_s))
+                if s is not None)
+            logger.write(f"input_put {stage} probe: 64 MB put {txt}\n")
         try:
             iter_idx = self.start_iter
             real = window = None
@@ -525,24 +627,80 @@ class Trainer:
                     w_keys, w_packed = pack(metricsK)
                     iter_idx += K
                     window = real = None
-                    if put_mode == "auto":
-                        # the window above is in flight: measure the busy
-                        # put rate against the idle reference, once
-                        x = np.zeros(16 << 20, np.uint8)
-                        t_p = time.perf_counter()
-                        jax.device_put(x).block_until_ready()
-                        busy_s = time.perf_counter() - t_p
-                        put_mode = ("serial"
-                                    if busy_s > 4 * max(probe_idle_s, 1e-3)
-                                    else "overlap")
-                        logger.write(
-                            f"input_put auto probe: 16 MB put "
-                            f"{probe_idle_s * 1e3:.0f} ms idle / "
-                            f"{busy_s * 1e3:.0f} ms busy -> {put_mode}\n")
+                    n_windows += 1
+                    if last_window_t is not None:
+                        pass_times.append(t0 - last_window_t)
+                        pass_times = pass_times[-8:]
+                    last_window_t = t0
+                    probe_vals = None
+                    if auto_put and n_windows == 1:
+                        # drain window 1 FIRST: the first device->host fetch
+                        # permanently flips this transport class into its
+                        # slow put regime (docs/ROUND5_NOTES.md), and both
+                        # probes must measure the regime production runs in
+                        probe_vals = np.asarray(w_packed)   # drain = fetch
+                        idle = put_probe()
+                        put_probes["idle"] = idle
+                        log_probe("probe_idle", idle, None)
+                    elif auto_put and n_windows == 2:
+                        # window 2 is in flight: the busy regime
+                        busy = put_probe()
+                        put_probes["busy"] = busy
+                        log_probe("probe_busy", None, busy)
+                    elif (auto_put and not put_decided and n_windows >= 5
+                          and len(pass_times) >= 4):
+                        # windows 3..4 ran forced-serial with no probes in
+                        # the pass: their pass times are t_compute +
+                        # W/bw_idle (the stack overlaps the compute; the
+                        # first two deltas carry compile + probe cost)
+                        t_pass = statistics.median(pass_times[2:])
+                        bw_idle = (64 * 2**20 /
+                                   statistics.median(put_probes["idle"]))
+                        W = self._last_stack_bytes
+                        t_compute_est = max(t_pass - W / bw_idle,
+                                            0.1 * t_pass)
+                        put_mode, model = decide_put_mode(
+                            put_probes["idle"], put_probes["busy"], W,
+                            t_compute_est)
+                        put_decided = True
+                        measuring = False
+                        logger.log_event({"event": "input_put_decision",
+                                          "mode": put_mode, **model})
+                        logger.write(f"input_put decision: {put_mode} "
+                                     f"{model}\n")
+                    elif (auto_put and put_decided
+                          and n_windows % REPROBE_EVERY == 0):
+                        # transports degrade (and recover) mid-run: re-probe
+                        # the busy regime and re-run the wall model; the
+                        # idle reference and t_compute stay from the last
+                        # serial measurements
+                        busy = put_probe()
+                        put_probes["busy"] = busy
+                        log_probe("reprobe", None, busy)
+                        if put_mode == "serial" and len(pass_times) >= 2:
+                            bw_idle = (64 * 2**20 / statistics.median(
+                                put_probes["idle"]))
+                            t_compute_est = max(
+                                statistics.median(pass_times)
+                                - self._last_stack_bytes / bw_idle,
+                                0.1 * statistics.median(pass_times))
+                        new_mode, model = decide_put_mode(
+                            put_probes["idle"], busy,
+                            self._last_stack_bytes, t_compute_est)
+                        if new_mode != put_mode:
+                            logger.write(f"input_put mode switch: "
+                                         f"{put_mode} -> {new_mode} "
+                                         f"{model}\n")
+                            logger.log_event(
+                                {"event": "input_put_decision",
+                                 "mode": new_mode, "stage": "reprobe",
+                                 **model})
+                            put_mode = new_mode
+                    win_serial = put_mode == "serial" or measuring
                     want_window = window_ok(iter_idx)
                     want_single = not want_window and iter_idx < end
                     next_stack = next_single = None
-                    if put_mode == "overlap":
+                    if not win_serial:
                         if want_window:            # prefetch next window
                             window = self.put_window(loader, K)
                         elif want_single:
@@ -564,11 +722,12 @@ class Trainer:
                                      vals=pending_w_vals)
                         pending_w = pending_w_vals = None
                     pending_w = (i0, t0, w_keys, w_packed)
-                    if put_mode == "serial":
+                    if win_serial:
                         # drain: blocks until THIS window completes; the log
                         # line waits for the next pass boundary so its time
                         # includes the puts below
-                        pending_w_vals = np.asarray(w_packed)
+                        pending_w_vals = (probe_vals if probe_vals is not None
+                                          else np.asarray(w_packed))
                         if is_event(iter_idx - 1):
                             flush_window(pending_w, vals=pending_w_vals)
                             pending_w = pending_w_vals = None
@@ -578,21 +737,40 @@ class Trainer:
                             window = self.put_stack(next_stack)
                         elif want_single:
                             real = self.put_batch(next_single)
-                    elif is_event(iter_idx - 1):
-                        # event needs in-order logs + synced state anyway
-                        flush_window(pending_w)
-                        pending_w = None
-                        do_events(iter_idx - 1)
+                    else:
+                        if probe_vals is not None:  # window 1 was drained
+                            pending_w_vals = probe_vals
+                        if is_event(iter_idx - 1):
+                            # event needs in-order logs + synced state anyway
+                            flush_window(pending_w, vals=pending_w_vals)
+                            pending_w = pending_w_vals = None
+                            do_events(iter_idx - 1)
                 else:
                     metrics, mean_path_length = self.step(
                         iter_idx, real, mean_path_length)
                     s_keys, s_packed = pack(metrics, (mean_path_length,))
                     iter_idx += 1
                     real = None
-                    if window_ok(iter_idx):
-                        window = self.put_window(loader, K)
-                    elif iter_idx < end:
-                        real = self.put_batch(next(loader))
+                    last_window_t = None  # pass_times: consecutive windows
+                    want_window = window_ok(iter_idx)
+                    want_single = not want_window and iter_idx < end
+                    next_stack = next_single = None
+                    if put_mode == "serial":
+                        # stage HOST work only while the step computes; the
+                        # wire transfer waits for the drain below (same rule
+                        # as the window branch — ADVICE r4: this branch used
+                        # to put while the step was in flight, re-introducing
+                        # the busy-device stall around every event boundary
+                        # that falls back to single steps)
+                        if want_window:
+                            next_stack = self.stack_window(loader, K)
+                        elif want_single:
+                            next_single = next(loader)
+                    else:
+                        if want_window:
+                            window = self.put_window(loader, K)
+                        elif want_single:
+                            real = self.put_batch(next(loader))
                     fid_tick(cfg.fid_batches_per_iter)
                     if pending_w is not None:
                         flush_window(pending_w, next_t0=t0,
@@ -601,9 +779,21 @@ class Trainer:
                     if pending is not None:
                         flush(pending)
                     pending = (iter_idx - 1, t0, s_keys, s_packed)
+                    if put_mode == "serial":
+                        # drain: the flush's np.asarray blocks until THIS
+                        # step completes; events then run on the synced
+                        # state, and the device is idle for the puts below
+                        flush(pending)
+                        pending = None
+                        if is_event(iter_idx - 1):
+                            do_events(iter_idx - 1)
+                        if want_window:
+                            window = self.put_stack(next_stack)
+                        elif want_single:
+                            real = self.put_batch(next_single)
                     # periodic events sync the device anyway — flush first so
                     # the log lines stay in order around sample/FID/ckpt
-                    if is_event(iter_idx - 1):
+                    elif is_event(iter_idx - 1):
                         flush(pending)
                         pending = None
                         do_events(iter_idx - 1)

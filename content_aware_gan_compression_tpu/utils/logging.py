@@ -63,6 +63,13 @@ class ExperimentLogger:
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
 
+    def log_event(self, record: dict):
+        """One structured JSONL record (no reference-format twin) — used for
+        run-level measurements like the input_put bandwidth probes, so the
+        raw numbers behind a mode decision ship with the run."""
+        self._jsonl.write(json.dumps(record) + "\n")
+        self._jsonl.flush()
+
     def close(self):
         self._txt.close()
         self._jsonl.close()

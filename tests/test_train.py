@@ -274,6 +274,169 @@ def test_trainer_windowed_dispatch(data_dir, ckpt_paths, tmp_path):
             os.path.join(logger.sample_dir, f"{it:06d}.png")), it
 
 
+def test_decide_put_mode_wall_model():
+    """The input staging decision (train/loop.py:decide_put_mode) compares
+    the measured WALL per window — serial: t_c + W/bw_idle vs overlap:
+    max(t_c, W/bw_busy) — with probe medians, so one outlier sample (GC
+    pause, rtt spike) cannot flip a 450k-iteration run's mode (VERDICT r4
+    #6 / weak #2)."""
+    from content_aware_gan_compression_tpu.train.loop import decide_put_mode
+
+    MB = 2 ** 20
+    # the measured relay regime (docs/ROUND5_NOTES.md): 64 MB probe at
+    # ~28 MB/s idle (2.3 s) / ~14 MB/s busy (4.6 s), 768 MB window,
+    # 13 s compute -> serial (40 s) beats overlap (55 s)
+    idle, busy = [2.3, 2.3, 2.3], [4.6, 4.6, 4.6]
+    mode, model = decide_put_mode(idle, busy, 768 * MB, 13.0)
+    assert mode == "serial"
+    assert model["serial_wall_s"] < model["overlap_wall_s"]
+    # data echoing shrinks the wire window 4x -> the SAME bandwidths now
+    # favor overlap (14 s) over serial (20 s): a fixed busy/idle-ratio
+    # rule cannot express this flip
+    mode, model = decide_put_mode(idle, busy, 192 * MB, 13.0)
+    assert mode == "overlap"
+    # healthy PCIe-like host: puts are free either way -> overlap
+    assert decide_put_mode([0.05] * 3, [0.06] * 3, 768 * MB, 13.0)[0] \
+        == "overlap"
+    # a single pathological sample cannot flip either decision
+    assert decide_put_mode(idle, [4.6, 4.6, 99.0], 192 * MB, 13.0)[0] \
+        == "overlap"
+    assert decide_put_mode([2.3, 2.3, 99.0], busy, 768 * MB, 13.0)[0] \
+        == "serial"
+    # compute-dominated regime: window is tiny next to compute -> overlap
+    assert decide_put_mode(idle, busy, 8 * MB, 13.0)[0] == "overlap"
+
+
+def test_train_config_validation():
+    """TrainConfig must reject staging-mode / kd-mode typos loudly instead
+    of silently falling into one branch (advisor r4)."""
+    with pytest.raises(ValueError):
+        TrainConfig(input_put="Serial")
+    with pytest.raises(ValueError):
+        TrainConfig(input_put="overlapped")
+    with pytest.raises(ValueError):
+        TrainConfig(kd_mode="output_only")
+    TrainConfig(input_put="serial", kd_mode="Intermediate")  # valid spellings
+
+
+def test_input_put_auto_probe_and_decision_logged(data_dir, ckpt_paths,
+                                                  tmp_path):
+    """input_put='auto' must (a) probe both put regimes with median-of-3
+    samples at the first window and land the raw samples in metrics.jsonl,
+    (b) measure forced-serial windows, then (c) log a wall-model decision
+    record (VERDICT r4 #6)."""
+    import json
+
+    student, teacher = ckpt_paths
+    cfg = make_cfg(data_dir, student, teacher, steps_per_dispatch=2)
+    assert cfg.input_put == "auto"
+    trainer = Trainer(cfg, exp_root=str(tmp_path))
+    logger = ExperimentLogger(str(tmp_path), name="auto_probe")
+    # iter 0 single (event), windows [1-2]..[9-10] -> decision at window 5
+    trainer.run(max_iters=12, logger=logger)
+    rows = [json.loads(l) for l in
+            open(os.path.join(logger.exp_dir, "metrics.jsonl"))]
+    probes = {r["stage"]: r for r in rows
+              if r.get("event") == "input_put_probe"}
+    assert "probe_idle" in probes and "probe_busy" in probes, probes
+    assert len(probes["probe_idle"]["idle_s"]) == 3
+    assert len(probes["probe_busy"]["busy_s"]) == 3
+    decisions = [r for r in rows if r.get("event") == "input_put_decision"]
+    assert decisions, "auto mode logged no decision record"
+    d = decisions[0]
+    assert d["mode"] in ("overlap", "serial")
+    for key in ("bw_idle_mb_s", "bw_busy_mb_s", "t_compute_s", "window_mb",
+                "serial_wall_s", "overlap_wall_s"):
+        assert key in d, key
+    # the run still logs one line per iteration around probes/decision
+    iters = sorted(r["iter"] for r in rows if "d" in r)
+    assert iters == list(range(12))
+
+
+def test_data_echo_window(data_dir, ckpt_paths, tmp_path):
+    """data_echo=2 must ship ceil(K/2) distinct batches per window, tile
+    them on device K/e iterations apart, keep one log line per iteration,
+    and stay finite; default 1 stays reference-exact (covered by the
+    serial/overlap equality tests)."""
+    student, teacher = ckpt_paths
+    cfg = make_cfg(data_dir, student, teacher, steps_per_dispatch=4,
+                   data_echo=2)
+    trainer = Trainer(cfg, exp_root=str(tmp_path))
+
+    # unit: the shipped stack is ceil(K/e) distinct batches...
+    from content_aware_gan_compression_tpu.data import (
+        open_dataset, infinite_loader)
+    dataset = open_dataset(data_dir, SIZE)
+    loader = infinite_loader(dataset, cfg.batch_size, seed=0, uint8_hwc=True)
+    stack = trainer.stack_window(loader, 4)
+    assert stack.shape[0] == 2
+    assert trainer._last_stack_bytes == stack.nbytes
+    # ...and put_stack tiles them to K with repeats K/e apart
+    win = np.asarray(trainer.put_stack(stack, 4))
+    assert win.shape[0] == 4
+    np.testing.assert_array_equal(win[2], win[0])
+    np.testing.assert_array_equal(win[3], win[1])
+    assert not np.array_equal(win[0], win[1])
+
+    # e2e smoke through the loop (reuse the same Trainer: the unit checks
+    # above only consumed loader batches, which the run does not depend on)
+    logger = ExperimentLogger(str(tmp_path), name="echo2")
+    trainer.run(max_iters=9, logger=logger)
+    import json
+    rows = [json.loads(l) for l in
+            open(os.path.join(logger.exp_dir, "metrics.jsonl"))]
+    iters = sorted(r["iter"] for r in rows if "d" in r)
+    assert iters == list(range(9))
+    g = np.asarray(trainer.g_params["conv1"]["conv"]["weight"])
+    assert np.isfinite(g).all()
+
+    with pytest.raises(ValueError):
+        TrainConfig(data_echo=0)
+
+
+def test_sharded_trajectory_matches_single_device(data_dir, ckpt_paths,
+                                                  tmp_path):
+    """VERDICT r4 #7: >=3 fused K-windows THROUGH Trainer.run — events
+    (sample grid + probe + window/single staging transitions) included — on
+    the 8-device mesh must reproduce the 1-device trajectory: the
+    replicated-out invariant extended in time. Tolerance-tight, not
+    bit-for-bit: the psum over 8 batch shards reassociates the batch
+    reduction (8 partial sums vs one flat sum), the same fp effect the
+    single-window mesh test (test_mesh_training.py) bounds per step."""
+    import json
+
+    student, teacher = ckpt_paths
+    runs = {}
+    for n_dev in (8, 1):
+        cfg = make_cfg(data_dir, student, teacher, steps_per_dispatch=4,
+                       val_sample_freq=8, n_devices=n_dev)
+        trainer = Trainer(cfg, exp_root=str(tmp_path))
+        logger = ExperimentLogger(str(tmp_path), name=f"traj_{n_dev}dev")
+        # iter 0 single (event), windows [1-4], [5-8] (event lands on its
+        # last iteration), [9-12], single 13
+        trainer.run(max_iters=14, logger=logger, data_seed=123)
+        rows = [json.loads(l) for l in
+                open(os.path.join(logger.exp_dir, "metrics.jsonl"))]
+        runs[n_dev] = {r["iter"]: r for r in rows if "d" in r}
+        runs[n_dev, "g"] = np.asarray(
+            trainer.g_params["conv1"]["conv"]["weight"])
+        runs[n_dev, "d"] = np.asarray(
+            trainer.d_params["final_linear"]["1"]["weight"])
+        assert os.path.exists(os.path.join(logger.sample_dir, "000008.png"))
+
+    assert sorted(runs[8]) == sorted(runs[1]) == list(range(14))
+    for it in runs[8]:
+        for k, v in runs[8][it].items():
+            if k in ("train_time",):
+                continue
+            assert runs[1][it][k] == pytest.approx(v, rel=2e-3, abs=2e-4), \
+                (it, k)
+    np.testing.assert_allclose(runs[8, "g"], runs[1, "g"],
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(runs[8, "d"], runs[1, "d"],
+                               rtol=2e-3, atol=1e-4)
+
+
 def test_input_put_serial_matches_overlap(data_dir, ckpt_paths, tmp_path):
     """input_put='serial' (the relay-safe staging order: drain the window,
     transfer at device idle, then dispatch — train/loop.py) must produce the

@@ -1,22 +1,28 @@
 #!/usr/bin/env python
-"""Host->device transfer microbenchmark (the e2e-vs-bench gap).
+"""Host->device transfer taxonomy (the e2e-vs-bench gap).
 
 The production loop ships one uint8 image batch per iteration
-(256px B16 = 3.15 MB). bench.py keeps a device-resident batch, so any
-difference between bench and e2e rates is loader + transfer + scheduling.
-This tool measures, on the live backend:
+(256px B16 = 3.15 MB; 1024px B16 = 48 MB). bench.py keeps a device-resident
+batch, so any difference between bench and e2e rates is loader + transfer +
+scheduling. Round 5 established that this transport has FOUR distinct put
+regimes, and the round-4 "busy vs idle" model was the wrong axis:
 
-  1. raw device_put bandwidth (fresh buffers, both batch and K-window sizes)
-  2. whether a device_put issued while a long jit executes OVERLAPS the
-     compute or SERIALIZES behind it (stream semantics of the transport)
-  3. whether moving the put to a host thread changes (2)
+  * pre-fetch  idle: ~800 MB/s    (fresh process, nothing fetched yet)
+  * pre-fetch  busy: trickles     (a put issued against a running program)
+  * post-fetch idle: ~28 MB/s     (after the FIRST device->host fetch of a
+                                   computed result the connection drops to
+                                   a ~1 MB-per-rtt synchronous mode and
+                                   never recovers in-process)
+  * post-fetch busy: ~14 MB/s
 
-Prints one JSON line. On a tunneled relay expect low raw bandwidth; on a
-real TPU host (PCIe) the put is ~free and e2e == bench.
+Every real training loop fetches metrics, so the production regimes are the
+post-fetch pair — they are what train/loop.py's put-mode wall model
+(decide_put_mode) consumes, and what this tool measures the way the loop's
+own probes do (train/loop.py:put_probe — 64 MB incompressible, median of
+3). Prints one JSON line; docs/ROUND5_NOTES.md records the measured values.
 """
 
 import argparse
-import concurrent.futures
 import json
 import os
 import sys
@@ -28,9 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed_put(x):
-    t0 = time.perf_counter()
     import jax
 
+    t0 = time.perf_counter()
     y = jax.device_put(x)
     y.block_until_ready()
     return time.perf_counter() - t0, y
@@ -50,75 +56,84 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_tpu_cache")
 
+    from content_aware_gan_compression_tpu.train.loop import put_probe
+
     rng = np.random.default_rng(0)
     shape = (args.batch_size, args.size, args.size, 3)
     mb = np.prod(shape) / 2**20
+    wshape = (args.window,) + shape
+    wmb = np.prod(wshape) / 2**20
 
-    # 1) raw put bandwidth (fresh host buffers each rep: no caching)
+    # ---- regime 1: pre-fetch idle (fresh process, nothing computed) ------
     put_s = []
     for _ in range(args.reps):
         x = rng.integers(0, 256, shape, dtype=np.uint8)
         dt, y = timed_put(x)
         put_s.append(dt)
         del y
-    bw = mb / np.median(put_s)
-
-    wshape = (args.window,) + shape
-    wmb = np.prod(wshape) / 2**20
     x = rng.integers(0, 256, wshape, dtype=np.uint8)
     wdt, _ = timed_put(x)
-    wbw = wmb / wdt
+    prefetch_idle = put_probe()
 
-    # long compute: a chain of matmuls sized to ~2-3 s on one chip
+    # a ~2.5 s compute window (the K-window regime, not a 0.2 s blip);
+    # compile + warm WITHOUT a host fetch (block_until_ready only) so the
+    # pre-fetch regimes stay clean
     n = 8192
     a = jax.device_put(rng.standard_normal((n, n)).astype(np.float32))
+    heavy = jax.jit(lambda a: jnp.float32(jax.lax.fori_loop(
+        0, 400, lambda i, y: y @ y * (1.0 / n), a.astype(jnp.bfloat16))[0, 0]))
+    heavy(a).block_until_ready()
 
-    @jax.jit
-    def heavy(a):
-        x = a.astype(jnp.bfloat16)
-        for _ in range(24):
-            x = x @ x * (1.0 / n)
-        return jnp.float32(x[0, 0])
+    # ---- regime 2: pre-fetch busy ----------------------------------------
+    r = heavy(a)
+    prefetch_busy = put_probe()
+    r.block_until_ready()
 
-    float(heavy(a))  # compile
+    # ---- the first fetch: flips the transport for the rest of the process
+    float(r)
+
+    # compute window length, fenced by a scalar fetch (the relay's
+    # block_until_ready is lax for compute results — CLAUDE.md)
     t0 = time.perf_counter()
     float(heavy(a))
     compute_s = time.perf_counter() - t0
 
-    # 2) dispatch compute, then put from the SAME thread, then join both
+    # ---- regime 3: post-fetch idle (what serial staging gets) ------------
+    postfetch_idle = put_probe()
     x = rng.integers(0, 256, wshape, dtype=np.uint8)
-    t0 = time.perf_counter()
+    wdt_post, _ = timed_put(x)
+
+    # ---- regime 4: post-fetch busy (what overlap staging gets) -----------
     r = heavy(a)
-    dt_put, y = timed_put(x)
+    postfetch_busy = put_probe()
     float(r)
-    same_thread_s = time.perf_counter() - t0
-    del y
 
-    # 3) dispatch compute, put from a WORKER thread
-    x = rng.integers(0, 256, wshape, dtype=np.uint8)
-    with concurrent.futures.ThreadPoolExecutor(1) as ex:
-        t0 = time.perf_counter()
-        r = heavy(a)
-        fut = ex.submit(timed_put, x)
-        float(r)
-        dt_thread, y = fut.result()
-        threaded_s = time.perf_counter() - t0
-    del y
-
-    serial_s = compute_s + wdt
+    med = lambda s: float(np.median(s))  # noqa: E731
     print(json.dumps({
         "metric": "host_to_device_transfer",
         "batch_mb": round(float(mb), 2),
-        "put_bw_mb_s": round(float(bw), 1),
         "window_mb": round(float(wmb), 2),
-        "window_put_bw_mb_s": round(float(wbw), 1),
         "compute_s": round(compute_s, 3),
-        "put_s": round(float(np.median(put_s)), 4),
-        "window_put_s": round(wdt, 3),
-        "same_thread_total_s": round(same_thread_s, 3),
-        "threaded_total_s": round(threaded_s, 3),
-        "serial_expectation_s": round(serial_s, 3),
-        "overlap_expectation_s": round(max(compute_s, wdt), 3),
+        # regime 1
+        "prefetch_idle_batch_put_s": round(med(put_s), 4),
+        "prefetch_idle_batch_bw_mb_s": round(float(mb) / med(put_s), 1),
+        "prefetch_idle_window_put_s": round(wdt, 3),
+        "prefetch_idle_window_bw_mb_s": round(float(wmb) / wdt, 1),
+        "prefetch_idle_probe_bw_mb_s": round(64 / med(prefetch_idle), 1),
+        # regime 2
+        "prefetch_busy_probe_bw_mb_s": round(64 / med(prefetch_busy), 1),
+        # regime 3 — serial staging's production rate
+        "postfetch_idle_probe_bw_mb_s": round(64 / med(postfetch_idle), 1),
+        "postfetch_idle_window_put_s": round(wdt_post, 3),
+        "postfetch_idle_window_bw_mb_s": round(float(wmb) / wdt_post, 1),
+        # regime 4 — overlap staging's production rate
+        "postfetch_busy_probe_bw_mb_s": round(64 / med(postfetch_busy), 1),
+        "probe_samples_s": {
+            "prefetch_idle": [round(t, 4) for t in prefetch_idle],
+            "prefetch_busy": [round(t, 4) for t in prefetch_busy],
+            "postfetch_idle": [round(t, 4) for t in postfetch_idle],
+            "postfetch_busy": [round(t, 4) for t in postfetch_busy],
+        },
     }))
 
 

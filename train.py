@@ -91,7 +91,13 @@ def main():
                              "overlap with compute (PCIe hosts), serially "
                              "at window drains (transports whose busy-"
                              "device puts trickle, e.g. tunneled relays), "
-                             "or probe once and pick (auto)")
+                             "or probe and pick by the wall model (auto)")
+    parser.add_argument("--data_echo", type=int, default=1,
+                        help="consume each shipped real batch N times per "
+                             "K-window (data echoing, Choi et al. 2020) — "
+                             "cuts input wire bytes N-fold on transports "
+                             "that cannot feed the chip; 1 = reference-"
+                             "exact fresh batch every iteration")
     parser.add_argument("--parsing_ckpt", type=str,
                         default="./Model/face_parsing/79999_iter.pth")
     parser.add_argument("--lpips_vgg_ckpt", type=str,
@@ -127,7 +133,7 @@ def main():
         compute_dtype=args.dtype, opt_state_dtype=args.opt_state_dtype,
         n_devices=args.n_devices, packed_trunk=args.packed_trunk,
         remat=args.remat, steps_per_dispatch=args.steps_per_dispatch,
-        input_put=args.input_put)
+        input_put=args.input_put, data_echo=args.data_echo)
 
     import jax
 
