@@ -36,6 +36,33 @@ REFERENCE_ITERS_PER_SEC = 450000 / (131 * 3600)  # 2x V100, README.md:110-115
 REFERENCE_ITERS_PER_SEC_1024 = 450000 / (251 * 3600)
 
 
+def _trace_flops_per_iter(trace_dir, iters):
+    """EXECUTED hardware flops per iteration, summed from the device
+    trace's per-op model_flops (the field tools/trace_op_time.py
+    attributes) — includes the remat replays and the packed trunk's
+    deliberate dense-flop inflation that the model-MAC `mfu` numerator
+    excludes by design (docs/ROUND4_NOTES.md: useful-MAC MFU vs hardware
+    flop utilization). XLA's compiled cost_analysis() is NOT usable here:
+    it reported 8.71 TFLOP/iter for the 1024px scanned multi-step whose
+    trace-measured executed volume is 86.2 TFLOP/iter — the while-body
+    accounting does not multiply by trip count (measured round 5)."""
+    try:
+        import contextlib
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from trace_op_time import load_json_events
+        with contextlib.redirect_stdout(sys.stderr):  # keep the ONE-json-
+            ev = load_json_events(trace_dir)          # line stdout contract
+        fl = sum(float(e.get("args", {}).get("model_flops", 0) or 0)
+                 for e in ev)
+        return fl / iters
+    except Exception as e:  # noqa: BLE001 - trace formats vary
+        print(f"# trace flops unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return None
+
+
 def main():
     parser = argparse.ArgumentParser()
     # warmup must cover one full regularizer cadence (d_reg every 16) TWICE:
@@ -245,7 +272,22 @@ def main():
         if ctx is not None:
             ctx.__exit__(None, None, None)
         iters_per_sec = n_disp * K / dt
-        _report(args, cfg, iters_per_sec, g_config, t_config)
+        # executed flops for hw_flop_util: from the timed window's trace if
+        # one was requested, else from one extra self-traced dispatch
+        # (outside the timed window either way)
+        tdir, traced_iters = args.trace_dir, n_disp * K
+        if tdir is None:
+            import tempfile
+            tdir, traced_iters = tempfile.mkdtemp(prefix="bench_flops_"), K
+            with jax.profiler.trace(tdir):
+                *state, last_reg, m = multi(*state, reals, it, last_reg,
+                                            t_params, lpips_params,
+                                            parse_params)
+                it += K
+                float(m["g"][-1])
+        exec_flops = _trace_flops_per_iter(tdir, traced_iters)
+        _report(args, cfg, iters_per_sec, g_config, t_config,
+                exec_flops_per_iter=exec_flops)
         return
 
     def one_iter(i, g_params, d_params, g_opt_state, d_opt_state, g_ema, mpl,
@@ -301,7 +343,8 @@ def main():
     _report(args, cfg, iters_per_sec, g_config, t_config)
 
 
-def _report(args, cfg, iters_per_sec, g_config, t_config):
+def _report(args, cfg, iters_per_sec, g_config, t_config,
+            exec_flops_per_iter=None):
     import jax
     from content_aware_gan_compression_tpu.models import generator_init
 
@@ -342,7 +385,7 @@ def _report(args, cfg, iters_per_sec, g_config, t_config):
     # at global batch 16 (README.md:110-115), so a run at a different batch
     # size is scaled by B/16 — raw iteration rates at unequal batch sizes
     # are not comparable.
-    print(json.dumps({
+    out = {
         "metric": ("retrain_iters_per_sec" if args.size == 256
                    else f"retrain_iters_per_sec_{args.size}px"),
         "value": round(iters_per_sec, 4),
@@ -352,7 +395,16 @@ def _report(args, cfg, iters_per_sec, g_config, t_config):
         # the reference default config (content-aware KD + LPIPS-KD) vs the
         # lighter GAN + unmasked-L1 job — apples-to-apples marker
         "objective": "full_kd" if args.full_objective else "gan_l1",
-    }))
+    }
+    if exec_flops_per_iter:
+        # mfu counts ALGORITHMIC model MACs (what the job is paid to do);
+        # hw_flop_util counts what the hardware EXECUTED (remat replay +
+        # the packed trunk's measured-faster dense-flop inflation) — the
+        # gap is flops deliberately spent to buy wall-clock (VERDICT r4 #5)
+        out["executed_tflop_per_iter"] = round(exec_flops_per_iter / 1e12, 2)
+        out["hw_flop_util"] = round(
+            exec_flops_per_iter * iters_per_sec / (PEAK_TFLOPS * 1e12), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

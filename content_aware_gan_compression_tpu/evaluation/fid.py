@@ -110,7 +110,9 @@ def calc_fid(sample_mean, sample_cov, real_mean, real_cov, eps=1e-6):
         cov_sqrt = linalg.sqrtm(sample_cov @ real_cov)
 
     if not np.isfinite(cov_sqrt).all():
-        print("product of cov matrices is singular")
+        warnings.warn("product of cov matrices is singular; retrying with "
+                      f"eps={eps} on the diagonals", RuntimeWarning,
+                      stacklevel=2)
         offset = np.eye(sample_cov.shape[0]) * eps
         cov_sqrt = linalg.sqrtm((sample_cov + offset) @ (real_cov + offset))
 

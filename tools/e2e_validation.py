@@ -170,8 +170,14 @@ def main():
                     help="fire one overlapped in-loop FID cycle mid-run")
     ap.add_argument("--fid_n_sample", type=int, default=4096)
     ap.add_argument("--fid_batch", type=int, default=None,
-                    help="override train.py's fid_batch (e.g. the 16 "
-                         "validated by the 1024px HBM envelope)")
+                    help="override train.py's fid_batch (the 1024px "
+                         "operating envelope searched by tools/"
+                         "hbm_envelope.py is committed in docs/"
+                         "HBM_ENVELOPE.json)")
+    ap.add_argument("--data_echo", type=int, default=1,
+                    help="train.py --data_echo passthrough (data echoing "
+                         "factor; mitigation for the tunneled relay's "
+                         "post-fetch put cap — docs/ROUND5_NOTES.md)")
     ap.add_argument("--timeout", type=int, default=5000)
     args = ap.parse_args()
 
@@ -202,6 +208,8 @@ def main():
                 "--real_stats", paths["real_stats"]]
     if args.fid_batch is not None:
         cmd += ["--fid_batch", str(args.fid_batch)]
+    if args.data_echo != 1:
+        cmd += ["--data_echo", str(args.data_echo)]
     print("#", " ".join(cmd))
     t0 = time.time()
     rc = subprocess.run(cmd, timeout=args.timeout).returncode
@@ -215,7 +223,8 @@ def main():
         "mean_incl_onetime_compiles": round(mean_rate, 4),
         "unit": "iter/s", "steady_iters": n, "wall_s": round(wall, 1),
         "batch_size": args.batch_size, "size": args.size,
-        "objective": "full_kd", "fid_cycle": bool(args.fid)}))
+        "objective": "full_kd", "fid_cycle": bool(args.fid),
+        "data_echo": args.data_echo}))
 
 
 if __name__ == "__main__":

@@ -53,27 +53,39 @@ def load_hlo_stats(trace_dir: str):
 
 
 def load_json_events(trace_dir: str):
-    """Device complete-events from the chrome trace, with container events
-    (while/conditional bodies) dropped so durations sum to busy time."""
+    """Device complete-events from ALL chrome traces under `trace_dir`, with
+    container events (while/conditional bodies, uncategorized run_module
+    roots) dropped so durations sum to busy time. The per-category excluded
+    duration is reported instead of silently discarded (advisor r4)."""
     paths = sorted(glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True))
     if not paths:
         raise SystemExit(f"no *.trace.json.gz under {trace_dir}")
-    with gzip.open(paths[0], "rt") as f:
-        tr = json.load(f)
-    events = tr["traceEvents"]
-    device_pids = {
-        e["pid"] for e in events
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-        and "TPU" in e["args"].get("name", "")}
+    if len(paths) > 1:
+        print(f"# merging {len(paths)} trace files under {trace_dir}")
     out = []
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
-            continue
-        cat = e.get("args", {}).get("hlo_category", "?")
-        if cat in _CONTAINERS:
-            continue
-        out.append(e)
+    excluded = collections.Counter()
+    for path in paths:
+        with gzip.open(path, "rt") as f:
+            tr = json.load(f)
+        events = tr["traceEvents"]
+        device_pids = {
+            e["pid"] for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+            and "TPU" in e["args"].get("name", "")}
+        for e in events:
+            if e.get("ph") != "X" or e.get("pid") not in device_pids:
+                continue
+            cat = e.get("args", {}).get("hlo_category", "?")
+            if cat in _CONTAINERS:
+                excluded[cat or "(empty)"] += e.get("dur", 0)
+                continue
+            out.append(e)
+    if excluded:
+        det = ", ".join(f"{c}: {d / 1e3:.1f} ms"
+                        for c, d in excluded.most_common())
+        print(f"# excluded container/uncategorized events (these NEST the "
+              f"ops counted below): {det}")
     if not out:
         raise SystemExit("no device op events in the JSON trace")
     return out
