@@ -288,7 +288,20 @@ def packed_conv_up(x: jnp.ndarray, weight: jnp.ndarray, *,
     weight: HWIO (UNflipped; the torch conv_transpose2d semantics'
     spatial flip is applied internally). x is packed (packed_in=True,
     grid = res/2) or unpacked (trunk entry, grid = res).
-    """
+
+    Negative result (round 5, measured end-to-end at 1024px batch 16):
+    this lhs-dilated form is the one line of the production step below
+    both rooflines (45 TF/s at 178 GB/s — docs/ROUND5_NOTES.md), and the
+    obvious fix — regroup to a DENSE stride-1 conv on the input grid
+    whose output channels carry (grid-phase, packed-phase) and follow
+    with a (ay,ax) depth-to-space — was built, parity-verified, and
+    REJECTED by measurement: the conv itself improves 45 -> 99 TF/s
+    (44.6 ms vs 53.2), but the epilogue rearrange costs 25.8 ms of data
+    formatting and un-fuses the downstream noise/bias/lrelu from the conv
+    (+20 ms of now-separate elementwise passes) — net 1.166 it/s vs
+    1.244, a 6.3%% regression. The dilated form keeps its consumers
+    conv-native; XLA's fusion structure is worth more than the conv's
+    tap efficiency here."""
     b, hg, wg, _ = x.shape
     K2, P2 = _compose_up_kernel(weight, fir, fir_pad, fir_gain)
     Lp_y, Pp_y, my = _axis_cells_up(K2.shape[0], P2, packed_in)
