@@ -26,7 +26,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HEADROOM = os.path.join(REPO, "tools", "hbm_headroom.py")
 
 OOM_SIGNATURES = ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
-                  "Allocation failure", "exceeds the limit")
+                  "Allocation failure", "exceeds the limit",
+                  # XLA:TPU compile-time OOM phrasing (seen at
+                  # steps_per_dispatch>=52, 1024px: "Ran out of memory in
+                  # memory space hbm ... Exceeded hbm capacity by N")
+                  "Ran out of memory", "Exceeded hbm capacity")
 
 
 def probe(size, batch_size, fid_batch, steps_per_dispatch, timeout,
