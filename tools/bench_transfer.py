@@ -8,12 +8,13 @@ scheduling. Round 5 established that this transport has FOUR distinct put
 regimes, and the round-4 "busy vs idle" model was the wrong axis:
 
   * pre-fetch  idle: ~800 MB/s    (fresh process, nothing fetched yet)
-  * pre-fetch  busy: trickles     (a put issued against a running program)
-  * post-fetch idle: ~28 MB/s     (after the FIRST device->host fetch of a
+  * pre-fetch  busy: ~800 MB/s    (no busy penalty at all pre-fetch)
+  * post-fetch idle: ~11-28 MB/s  (after the FIRST device->host fetch of a
                                    computed result the connection drops to
                                    a ~1 MB-per-rtt synchronous mode and
-                                   never recovers in-process)
-  * post-fetch busy: ~14 MB/s
+                                   never recovers in-process; varies with
+                                   relay load by hour)
+  * post-fetch busy: ~10-17 MB/s
 
 Every real training loop fetches metrics, so the production regimes are the
 post-fetch pair — they are what train/loop.py's put-mode wall model

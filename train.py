@@ -89,9 +89,10 @@ def main():
                         choices=("auto", "overlap", "serial"),
                         help="when to ship real batches to the device: "
                              "overlap with compute (PCIe hosts), serially "
-                             "at window drains (transports whose busy-"
-                             "device puts trickle, e.g. tunneled relays), "
-                             "or probe and pick by the wall model (auto)")
+                             "at window drains (transports whose idle "
+                             "puts beat busy puts), or probe both regimes "
+                             "and pick by the wall model (auto; probes + "
+                             "decision logged to metrics.jsonl)")
     parser.add_argument("--data_echo", type=int, default=1,
                         help="consume each shipped real batch N times per "
                              "K-window (data echoing, Choi et al. 2020) — "
