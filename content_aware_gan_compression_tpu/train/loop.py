@@ -579,21 +579,20 @@ class Trainer:
         pending_w = None
         pending_w_vals = None
         # --- input_put controller (VERDICT r4 #6) --------------------------
-        # auto: window 1 measures both put regimes in production conditions
-        # (busy = during the in-flight window; idle = right after its
-        # drain, which on the tunneled relay is also the post-first-fetch
-        # regime — docs/ROUND5_NOTES.md). Windows 2..3 run forced-serial
-        # (trajectory-identical; tests/test_train.py) to measure the clean
-        # per-window compute time, then decide_put_mode's wall model picks.
-        # Raw probe samples and the decision model land in metrics.jsonl.
+        # auto: window 1 is drained first (forcing the transport's
+        # post-first-fetch regime — docs/ROUND5_NOTES.md) and idle-probed;
+        # window 2 is busy-probed in flight; windows 3..4 run forced-serial
+        # (trajectory-identical; tests/test_train.py) so their
+        # dispatch->drain wall directly measures the per-window compute
+        # time; then decide_put_mode's wall model picks at window 5. Raw
+        # probe samples and the decision model land in metrics.jsonl.
         auto_put = cfg.input_put == "auto"
         put_mode = "overlap" if auto_put else cfg.input_put
         measuring = auto_put           # windows forced serial until decided
         put_decided = not auto_put
         put_probes = {"idle": None, "busy": None}
         t_compute_est = None
-        last_window_t = None
-        pass_times = []
+        t_drain_samples = []   # direct t_compute: dispatch -> drain wall
         n_windows = 0
         REPROBE_EVERY = 256  # windows between busy re-probes in auto mode
 
@@ -628,10 +627,6 @@ class Trainer:
                     iter_idx += K
                     window = real = None
                     n_windows += 1
-                    if last_window_t is not None:
-                        pass_times.append(t0 - last_window_t)
-                        pass_times = pass_times[-8:]
-                    last_window_t = t0
                     probe_vals = None
                     if auto_put and n_windows == 1:
                         # drain window 1 FIRST: the first device->host fetch
@@ -648,17 +643,15 @@ class Trainer:
                         put_probes["busy"] = busy
                         log_probe("probe_busy", None, busy)
                     elif (auto_put and not put_decided and n_windows >= 5
-                          and len(pass_times) >= 4):
+                          and len(t_drain_samples) >= 2):
                         # windows 3..4 ran forced-serial with no probes in
-                        # the pass: their pass times are t_compute +
-                        # W/bw_idle (the stack overlaps the compute; the
-                        # first two deltas carry compile + probe cost)
-                        t_pass = statistics.median(pass_times[2:])
-                        bw_idle = (64 * 2**20 /
-                                   statistics.median(put_probes["idle"]))
+                        # the pass: their dispatch->drain wall IS the
+                        # per-window compute time, measured directly (the
+                        # round-5 1024px e2e showed the pass-time-minus-
+                        # put subtraction mis-splits when the probe
+                        # bandwidth differs from the actual window put's)
                         W = self._last_stack_bytes
-                        t_compute_est = max(t_pass - W / bw_idle,
-                                            0.1 * t_pass)
+                        t_compute_est = statistics.median(t_drain_samples)
                         put_mode, model = decide_put_mode(
                             put_probes["idle"], put_probes["busy"], W,
                             t_compute_est)
@@ -677,13 +670,9 @@ class Trainer:
                         busy = put_probe()
                         put_probes["busy"] = busy
                         log_probe("reprobe", None, busy)
-                        if put_mode == "serial" and len(pass_times) >= 2:
-                            bw_idle = (64 * 2**20 / statistics.median(
-                                put_probes["idle"]))
-                            t_compute_est = max(
-                                statistics.median(pass_times)
-                                - self._last_stack_bytes / bw_idle,
-                                0.1 * statistics.median(pass_times))
+                        if put_mode == "serial" and t_drain_samples:
+                            t_compute_est = statistics.median(
+                                t_drain_samples)
                         new_mode, model = decide_put_mode(
                             put_probes["idle"], busy,
                             self._last_stack_bytes, t_compute_est)
@@ -728,6 +717,11 @@ class Trainer:
                         # includes the puts below
                         pending_w_vals = (probe_vals if probe_vals is not None
                                           else np.asarray(w_packed))
+                        if probe_vals is None and n_windows >= 3:
+                            # dispatch->drain wall = direct t_compute sample
+                            # (windows 1-2 carry compile / probe cost)
+                            t_drain_samples.append(time.time() - t0)
+                            t_drain_samples = t_drain_samples[-8:]
                         if is_event(iter_idx - 1):
                             flush_window(pending_w, vals=pending_w_vals)
                             pending_w = pending_w_vals = None
@@ -751,7 +745,6 @@ class Trainer:
                     s_keys, s_packed = pack(metrics, (mean_path_length,))
                     iter_idx += 1
                     real = None
-                    last_window_t = None  # pass_times: consecutive windows
                     want_window = window_ok(iter_idx)
                     want_single = not want_window and iter_idx < end
                     next_stack = next_single = None
