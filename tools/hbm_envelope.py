@@ -55,9 +55,11 @@ def probe(size, batch_size, fid_batch, steps_per_dispatch, timeout,
                 break
     rec = {"fits": fits, "reason": reason, "s": round(time.time() - t0, 1)}
     if fits:
+        # the stats JSON is stdout's last line; `out` mixes in stderr
+        # (warnings land after it), so parse stdout alone
         try:
-            rec["stats"] = json.loads(out.strip().splitlines()[-1])
-        except (ValueError, IndexError):
+            rec["stats"] = json.loads(r.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError, AttributeError):
             pass
     return rec
 
