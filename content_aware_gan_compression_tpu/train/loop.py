@@ -594,7 +594,9 @@ class Trainer:
         t_compute_est = None
         t_drain_samples = []   # direct t_compute: dispatch -> drain wall
         n_windows = 0
-        REPROBE_EVERY = 256  # windows between busy re-probes in auto mode
+        # windows between busy re-probes in auto mode (env override exists
+        # so the reprobe/mode-switch branch is testable on short CPU runs)
+        REPROBE_EVERY = int(os.environ.get("CAGC_REPROBE_EVERY", "256"))
 
         def log_probe(stage, idle_s, busy_s):
             rec = {"event": "input_put_probe", "stage": stage}

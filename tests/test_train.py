@@ -353,6 +353,33 @@ def test_input_put_auto_probe_and_decision_logged(data_dir, ckpt_paths,
     assert iters == list(range(12))
 
 
+def test_input_put_reprobe_fires(data_dir, ckpt_paths, tmp_path,
+                                 monkeypatch):
+    """After the decision, auto mode must re-probe the busy regime every
+    REPROBE_EVERY windows (env-overridable for this test) and log it —
+    the mid-run re-probe path of VERDICT r4 #6."""
+    import json
+
+    monkeypatch.setenv("CAGC_REPROBE_EVERY", "6")
+    student, teacher = ckpt_paths
+    cfg = make_cfg(data_dir, student, teacher, steps_per_dispatch=2)
+    trainer = Trainer(cfg, exp_root=str(tmp_path))
+    logger = ExperimentLogger(str(tmp_path), name="reprobe")
+    # windows 1..6: probes at 1-2, decision at 5, reprobe at 6
+    trainer.run(max_iters=14, logger=logger)
+    rows = [json.loads(l) for l in
+            open(os.path.join(logger.exp_dir, "metrics.jsonl"))]
+    stages = [r["stage"] for r in rows
+              if r.get("event") == "input_put_probe"]
+    assert "reprobe" in stages, stages
+    # the decision preceded the reprobe (reprobe only runs post-decision)
+    events = [(r["event"], r.get("stage")) for r in rows if "event" in r]
+    assert events.index(("input_put_decision", None)) \
+        < events.index(("input_put_probe", "reprobe"))
+    iters = sorted(r["iter"] for r in rows if "d" in r)
+    assert iters == list(range(14))
+
+
 def test_data_echo_window(data_dir, ckpt_paths, tmp_path):
     """data_echo=2 must ship ceil(K/2) distinct batches per window, tile
     them on device K/e iterations apart, keep one log line per iteration,
